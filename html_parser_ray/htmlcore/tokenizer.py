@@ -1,0 +1,952 @@
+"""WHATWG HTML5 tokenizer — from-scratch Python implementation.
+
+Spec: https://html.spec.whatwg.org/multipage/parsing.html#tokenization
+Behavioral parity target: the reference's tokenizer
+(reference: src/internal/vendor/parse5/tokenizer/index.js — studied for
+behavior only; this is an independent implementation).
+
+Design notes (scale): per-char state dispatch is too slow for CPython, so every
+hot state consumes character RUNS via compiled regexes (text runs, tag/attr
+names, quoted values, comment bodies). The tree builder drives the tokenizer
+pull-style via ``next_token()`` and may switch ``state`` / ``last_start_tag`` /
+``allow_cdata`` between pulls exactly as the spec's tree-construction stage
+does.
+
+Offsets are code-point offsets into the (newline-normalized) input text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .entities import match_entity, replace_numeric_codepoint
+
+# token kinds
+CHARS = 0
+START = 1
+END = 2
+COMMENT = 3
+DOCTYPE = 4
+EOF = 5
+
+# tokenizer states the tree builder may set
+DATA = "data"
+RCDATA = "rcdata"
+RAWTEXT = "rawtext"
+SCRIPT_DATA = "script_data"
+PLAINTEXT = "plaintext"
+CDATA_SECTION = "cdata"
+
+_DATA_RUN = re.compile(r"[^<&\x00]+")
+_RCDATA_RUN = re.compile(r"[^<&\x00]+")
+_RAWTEXT_RUN = re.compile(r"[^<\x00]+")
+_SCRIPT_RUN = re.compile(r"[^<\x00]+")
+_SCRIPT_ESC_RUN = re.compile(r"[^<\-\x00]+")
+_PLAINTEXT_RUN = re.compile(r"[^\x00]+")
+_CDATA_RUN = re.compile(r"[^\]\x00]+")
+_TAG_NAME_RUN = re.compile(r"[^\t\n\f />]+")
+_ATTR_NAME_RUN = re.compile(r"[^\t\n\f /=>]+")
+_ATTR_VALUE_DQ_RUN = re.compile(r'[^"&\x00]+')
+_ATTR_VALUE_SQ_RUN = re.compile(r"[^'&\x00]+")
+_ATTR_VALUE_UQ_RUN = re.compile(r"[^\t\n\f &>\x00]+")
+_COMMENT_RUN = re.compile(r"[^<\-\x00]+")
+_WS = "\t\n\f "
+_ASCII_LETTERS = re.compile(r"[a-zA-Z]+")
+_DIGITS = re.compile(r"[0-9]+")
+_HEX_DIGITS = re.compile(r"[0-9a-fA-F]+")
+_ALNUM = re.compile(r"[a-zA-Z0-9]")
+_DOCTYPE_NAME_RUN = re.compile(r"[^\t\n\f >]+")
+
+_CR = re.compile(r"\r\n?")
+
+
+def normalize_newlines(html: str) -> tuple[str, list[int] | None]:
+    """\\r\\n / \\r → \\n (spec input preprocessing).
+
+    Returns (normalized, removed_positions) where removed_positions are the
+    normalized-string offsets at which a char was dropped (for span mapping
+    back to the original string); None when nothing was removed.
+    """
+    if "\r" not in html:
+        return html, None
+    out = _CR.sub("\n", html)
+    if len(out) == len(html):
+        return out, None
+    removed: list[int] = []
+    delta = 0
+    idx = html.find("\r\n")
+    while idx != -1:
+        removed.append(idx - delta)
+        delta += 1
+        idx = html.find("\r\n", idx + 2)
+    return out, removed
+
+
+class Tokenizer:
+    """Pull-based spec tokenizer over a decoded, newline-normalized string."""
+
+    __slots__ = (
+        "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
+        "_queue", "_qidx", "_text_parts", "_text_start", "errors",
+        "capture_offsets", "_initial_state_override",
+    )
+
+    def __init__(self, html: str, capture_offsets: bool = False,
+                 initial_state: str = DATA, last_start_tag: str = ""):
+        self.html = html
+        self.n = len(html)
+        self.pos = 0
+        self.state = initial_state
+        self.last_start_tag = last_start_tag
+        self.allow_cdata = False
+        self._queue: list[tuple] = []
+        self._qidx = 0
+        self._text_parts: list[str] = []
+        self._text_start = 0
+        self.errors: list[tuple[str, int]] = []  # (code, offset)
+        self.capture_offsets = capture_offsets
+
+    # ---- error + text plumbing -------------------------------------------
+
+    def _err(self, code: str, offset: int | None = None) -> None:
+        self.errors.append((code, self.pos if offset is None else offset))
+
+    def _text(self, value: str, start: int) -> None:
+        if value:
+            if not self._text_parts:
+                self._text_start = start
+            self._text_parts.append(value)
+
+    def _flush_text(self, end: int) -> None:
+        if self._text_parts:
+            data = "".join(self._text_parts)
+            self._text_parts = []
+            self._queue.append((CHARS, data, self._text_start, end))
+
+    def _emit(self, token: tuple) -> None:
+        self._flush_text(token[-2] if len(token) > 2 else self.pos)
+        self._queue.append(token)
+
+    # ---- public pull API --------------------------------------------------
+
+    def next_token(self) -> tuple:
+        while self._qidx >= len(self._queue):
+            if self._qidx:
+                del self._queue[:self._qidx]
+                self._qidx = 0
+            self._step()
+        token = self._queue[self._qidx]
+        self._qidx += 1
+        return token
+
+    def tokens(self) -> list[tuple]:
+        """Run to EOF and return every token (conformance/testing helper)."""
+        out = []
+        while True:
+            tok = self.next_token()
+            out.append(tok)
+            if tok[0] == EOF:
+                return out
+
+    # ---- main dispatch ----------------------------------------------------
+
+    def _step(self) -> None:
+        state = self.state
+        if state == DATA:
+            self._run_data()
+        elif state == RCDATA:
+            self._run_rcdata()
+        elif state == RAWTEXT:
+            self._run_rawtext()
+        elif state == SCRIPT_DATA:
+            self._run_script_data()
+        elif state == PLAINTEXT:
+            self._run_plaintext()
+        elif state == CDATA_SECTION:
+            self._run_cdata()
+        else:  # pragma: no cover
+            raise AssertionError(f"bad tokenizer state {state}")
+
+    def _eof(self) -> None:
+        self._flush_text(self.pos)
+        self._queue.append((EOF,))
+
+    # ---- DATA -------------------------------------------------------------
+
+    def _run_data(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        while pos < n:
+            m = _DATA_RUN.match(s, pos)
+            if m:
+                self._text(m.group(), pos)
+                pos = m.end()
+                if pos >= n:
+                    break
+            c = s[pos]
+            if c == "<":
+                self.pos = pos
+                self._tag_open(pos)
+                pos = self.pos
+                if self._qidx < len(self._queue) or self.state != DATA:
+                    return
+            elif c == "&":
+                decoded, newpos = self._charref(pos + 1, in_attr=False)
+                if decoded is None:
+                    self._text("&", pos)
+                else:
+                    self._text(decoded, pos)
+                pos = newpos
+            else:  # NUL
+                self._err("unexpected-null-character", pos)
+                self._text("\x00", pos)
+                pos += 1
+        self.pos = pos
+        self._eof()
+
+    # ---- RCDATA / RAWTEXT / PLAINTEXT ------------------------------------
+
+    def _run_rcdata(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        while pos < n:
+            m = _RCDATA_RUN.match(s, pos)
+            if m:
+                self._text(m.group(), pos)
+                pos = m.end()
+                if pos >= n:
+                    break
+            c = s[pos]
+            if c == "<":
+                newpos = self._rawtext_lt(pos, allow_charref=True)
+                if newpos is None:
+                    return  # end tag emitted; state switched to DATA
+                pos = newpos
+            elif c == "&":
+                decoded, newpos = self._charref(pos + 1, in_attr=False)
+                if decoded is None:
+                    self._text("&", pos)
+                else:
+                    self._text(decoded, pos)
+                pos = newpos
+            else:
+                self._err("unexpected-null-character", pos)
+                self._text("�", pos)
+                pos += 1
+        self.pos = pos
+        self._eof()
+
+    def _run_rawtext(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        while pos < n:
+            m = _RAWTEXT_RUN.match(s, pos)
+            if m:
+                self._text(m.group(), pos)
+                pos = m.end()
+                if pos >= n:
+                    break
+            c = s[pos]
+            if c == "<":
+                newpos = self._rawtext_lt(pos, allow_charref=False)
+                if newpos is None:
+                    return
+                pos = newpos
+            else:
+                self._err("unexpected-null-character", pos)
+                self._text("�", pos)
+                pos += 1
+        self.pos = pos
+        self._eof()
+
+    def _run_plaintext(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        while pos < n:
+            m = _PLAINTEXT_RUN.match(s, pos)
+            if m:
+                self._text(m.group(), pos)
+                pos = m.end()
+            else:
+                self._err("unexpected-null-character", pos)
+                self._text("�", pos)
+                pos += 1
+        self.pos = pos
+        self._eof()
+
+    def _rawtext_lt(self, lt_pos: int, allow_charref: bool) -> int | None:
+        """Handle '<' in RCDATA/RAWTEXT. Returns new pos to continue text
+        scanning, or None if an appropriate end tag was emitted."""
+        s, n = self.html, self.n
+        pos = lt_pos + 1
+        if pos < n and s[pos] == "/":
+            m = _ASCII_LETTERS.match(s, pos + 1)
+            if m and m.group().lower() == self.last_start_tag:
+                after = m.end()
+                if after >= n:
+                    pass  # EOF mid-candidate: falls through to text
+                elif s[after] in "\t\n\f />":
+                    # appropriate end tag: parse the tail like a normal end tag
+                    self.pos = pos + 1
+                    self._scan_tag(lt_pos, is_end=True)
+                    self.state = DATA
+                    return None
+            # not an appropriate end tag: '</' + letters are just text
+            self._text("</", lt_pos)
+            return pos + 1
+        self._text("<", lt_pos)
+        return pos
+
+    # ---- SCRIPT DATA (incl. escape states) --------------------------------
+
+    def _run_script_data(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        while pos < n:
+            m = _SCRIPT_RUN.match(s, pos)
+            if m:
+                self._text(m.group(), pos)
+                pos = m.end()
+                if pos >= n:
+                    break
+            c = s[pos]
+            if c == "<":
+                nxt = s[pos + 1] if pos + 1 < n else ""
+                if nxt == "/":
+                    m = _ASCII_LETTERS.match(s, pos + 2)
+                    if m and m.group().lower() == self.last_start_tag:
+                        after = m.end()
+                        if after < n and s[after] in "\t\n\f />":
+                            self.pos = pos + 2
+                            self._scan_tag(pos, is_end=True)
+                            self.state = DATA
+                            return
+                    self._text("</", pos)
+                    pos += 2
+                elif nxt == "!":
+                    self._text("<!", pos)
+                    pos += 2
+                    if s.startswith("--", pos):
+                        self._text("--", pos)
+                        pos += 2
+                        pos = self._script_escaped(pos)
+                        if pos is None:
+                            return
+                        if pos >= n:
+                            break
+                else:
+                    self._text("<", pos)
+                    pos += 1
+            else:
+                self._err("unexpected-null-character", pos)
+                self._text("�", pos)
+                pos += 1
+        self.pos = pos
+        self._eof()
+
+    def _script_escaped(self, pos: int) -> int | None:
+        """Script data escaped / double-escaped states. Entered right after
+        '<!--'. Returns pos after '-->' (back to plain script data), or None
+        if an appropriate end tag was emitted, or n at EOF."""
+        s, n = self.html, self.n
+        double = False
+        # '<!--' lands in the escaped-dash-dash state, so an immediate '>'
+        # ('<script><!-->') returns to plain script data per spec.
+        dashes = 2
+        while pos < n:
+            c = s[pos]
+            if c == "-":
+                self._text("-", pos)
+                pos += 1
+                dashes += 1
+                continue
+            if c == ">" and dashes >= 2:
+                self._text(">", pos)
+                return pos + 1
+            if c == "<":
+                nxt = s[pos + 1] if pos + 1 < n else ""
+                if not double and nxt == "/":
+                    m = _ASCII_LETTERS.match(s, pos + 2)
+                    if m and m.group().lower() == self.last_start_tag:
+                        after = m.end()
+                        if after < n and s[after] in "\t\n\f />":
+                            self.pos = pos + 2
+                            self._scan_tag(pos, is_end=True)
+                            self.state = DATA
+                            return None
+                    self._text("</", pos)
+                    pos += 2
+                elif not double:
+                    # check for double-escape start: '<script' then ws//>
+                    m = _ASCII_LETTERS.match(s, pos + 1)
+                    self._text("<", pos)
+                    pos += 1
+                    if m and m.group().lower() == "script":
+                        after = m.end()
+                        if after < n and s[after] in "\t\n\f />":
+                            double = True
+                elif nxt == "/":
+                    m = _ASCII_LETTERS.match(s, pos + 2)
+                    self._text("</", pos)
+                    pos += 2
+                    if m and m.group().lower() == "script":
+                        after = m.end()
+                        if after < n and s[after] in "\t\n\f />":
+                            double = False
+                else:
+                    self._text("<", pos)
+                    pos += 1
+                dashes = 0
+            elif c == "\x00":
+                self._err("unexpected-null-character", pos)
+                self._text("�", pos)
+                pos += 1
+                dashes = 0
+            else:
+                m = _SCRIPT_ESC_RUN.match(s, pos)
+                self._text(m.group(), pos)
+                pos = m.end()
+                dashes = 0
+        return pos
+
+    # ---- CDATA ------------------------------------------------------------
+
+    def _run_cdata(self) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        end = s.find("]]>", pos)
+        if end == -1:
+            self._err("eof-in-cdata", n)
+            self._text(s[pos:], pos)
+            self.pos = n
+            self._eof()
+            return
+        self._text(s[pos:end], pos)
+        self.pos = end + 3
+        self.state = DATA
+        self._flush_text(self.pos)
+        if self._qidx >= len(self._queue):
+            self._step()
+
+    # ---- tag open dispatch -------------------------------------------------
+
+    def _tag_open(self, lt_pos: int) -> bool:
+        """Handle '<' in DATA. self.pos updated. Returns True if a token was
+        emitted (or queue advanced)."""
+        s, n = self.html, self.n
+        pos = lt_pos + 1
+        if pos >= n:
+            self._err("eof-before-tag-name", pos)
+            self._text("<", lt_pos)
+            self.pos = n
+            self._eof()
+            return True
+        c = s[pos]
+        if c == "!":
+            self.pos = pos + 1
+            self._markup_declaration(lt_pos)
+            return True
+        if c == "/":
+            pos += 1
+            if pos >= n:
+                self._err("eof-before-tag-name", pos)
+                self._text("</", lt_pos)
+                self.pos = n
+                self._eof()
+                return True
+            c2 = s[pos]
+            if c2.isascii() and c2.isalpha():
+                self.pos = pos
+                self._scan_tag(lt_pos, is_end=True)
+                return True
+            if c2 == ">":
+                self._err("missing-end-tag-name", pos)
+                self.pos = pos + 1
+                return False
+            self._err("invalid-first-character-of-tag-name", pos)
+            self.pos = pos
+            self._bogus_comment(lt_pos)
+            return True
+        if c.isascii() and c.isalpha():
+            self.pos = pos
+            self._scan_tag(lt_pos, is_end=False)
+            return True
+        if c == "?":
+            self._err("unexpected-question-mark-instead-of-tag-name", pos)
+            self.pos = pos
+            self._bogus_comment(lt_pos)
+            return True
+        self._err("invalid-first-character-of-tag-name", pos)
+        self._text("<", lt_pos)
+        self.pos = pos
+        return False
+
+    # ---- start/end tag scanning -------------------------------------------
+
+    def _scan_tag(self, lt_pos: int, is_end: bool) -> None:
+        """Scan tag name + attributes + close. self.pos at first name char."""
+        s, n = self.html, self.n
+        pos = self.pos
+        m = _TAG_NAME_RUN.match(s, pos)
+        name = m.group() if m else ""
+        pos = m.end() if m else pos
+        if "\x00" in name:
+            self._err("unexpected-null-character", pos)
+            name = name.replace("\x00", "�")
+        name = name.lower()
+
+        attrs: list[tuple[str, str, int, int]] = []
+        seen: set[str] = set()
+        self_closing = False
+
+        while True:
+            # before attribute name
+            while pos < n and s[pos] in _WS:
+                pos += 1
+            if pos >= n:
+                self._err("eof-in-tag", pos)
+                self.pos = n
+                self._eof()
+                return
+            c = s[pos]
+            if c == ">":
+                pos += 1
+                break
+            if c == "/":
+                if pos + 1 < n and s[pos + 1] == ">":
+                    self_closing = True
+                    pos += 2
+                    break
+                self._err("unexpected-solidus-in-tag", pos)
+                pos += 1
+                continue
+            if c == "=":
+                self._err("unexpected-equals-sign-before-attribute-name", pos)
+                # spec: start attr name WITH the '='
+                astart = pos
+                pos += 1
+                m = _ATTR_NAME_RUN.match(s, pos)
+                aname = "=" + (m.group() if m else "")
+                pos = m.end() if m else pos
+                pos, value, aend = self._attr_value(pos)
+                aname = aname.lower().replace("\x00", "�")
+                if aname in seen:
+                    self._err("duplicate-attribute", astart)
+                else:
+                    seen.add(aname)
+                    attrs.append((aname, value, astart, aend))
+                continue
+            # attribute name
+            astart = pos
+            m = _ATTR_NAME_RUN.match(s, pos)
+            if m:
+                aname = m.group()
+                pos = m.end()
+            else:
+                aname = ""
+            if "\x00" in aname:
+                self._err("unexpected-null-character", pos)
+                aname = aname.replace("\x00", "�")
+            if '"' in aname or "'" in aname or "<" in aname:
+                self._err("unexpected-character-in-attribute-name", pos)
+            aname = aname.lower()
+            # after attribute name: ws* then '=', or next attr / close
+            ws_end = pos
+            while ws_end < n and s[ws_end] in _WS:
+                ws_end += 1
+            if ws_end < n and s[ws_end] == "=":
+                pos = ws_end
+                pos, value, aend = self._attr_value(pos)
+            else:
+                value, aend = "", pos
+            if aname in seen:
+                self._err("duplicate-attribute", astart)
+            else:
+                seen.add(aname)
+                attrs.append((aname, value, astart, aend))
+
+        self.pos = pos
+        if is_end:
+            if attrs:
+                self._err("end-tag-with-attributes", lt_pos)
+            if self_closing:
+                self._err("end-tag-with-trailing-solidus", lt_pos)
+            self._emit((END, name, lt_pos, pos))
+        else:
+            self.last_start_tag = name
+            self._emit((START, name, attrs, self_closing, lt_pos, pos))
+
+    def _attr_value(self, pos: int) -> tuple[int, str, int]:
+        """self at '='. Returns (new_pos, value, value_end_offset)."""
+        s, n = self.html, self.n
+        pos += 1  # consume '='
+        while pos < n and s[pos] in _WS:
+            pos += 1
+        if pos >= n:
+            return pos, "", pos
+        c = s[pos]
+        parts: list[str] = []
+        if c == '"' or c == "'":
+            run = _ATTR_VALUE_DQ_RUN if c == '"' else _ATTR_VALUE_SQ_RUN
+            quote = c
+            pos += 1
+            while pos < n:
+                m = run.match(s, pos)
+                if m:
+                    parts.append(m.group())
+                    pos = m.end()
+                    if pos >= n:
+                        break
+                ch = s[pos]
+                if ch == quote:
+                    pos += 1
+                    # after-quoted-value: caller handles ws / '>' / '/'
+                    if pos < n and s[pos] not in "\t\n\f >/":
+                        self._err("missing-whitespace-between-attributes", pos)
+                    return pos, "".join(parts), pos
+                if ch == "&":
+                    decoded, newpos = self._charref(pos + 1, in_attr=True)
+                    parts.append("&" if decoded is None else decoded)
+                    pos = newpos
+                else:  # NUL
+                    self._err("unexpected-null-character", pos)
+                    parts.append("�")
+                    pos += 1
+            self._err("eof-in-tag", pos)
+            return pos, "".join(parts), pos
+        # unquoted
+        start = pos
+        while pos < n:
+            m = _ATTR_VALUE_UQ_RUN.match(s, pos)
+            if m:
+                chunk = m.group()
+                if any(q in chunk for q in "\"'<=`"):
+                    self._err("unexpected-character-in-unquoted-attribute-value", pos)
+                parts.append(chunk)
+                pos = m.end()
+                if pos >= n:
+                    break
+            ch = s[pos]
+            if ch in "\t\n\f >":
+                break
+            if ch == "&":
+                decoded, newpos = self._charref(pos + 1, in_attr=True)
+                parts.append("&" if decoded is None else decoded)
+                pos = newpos
+            else:  # NUL
+                self._err("unexpected-null-character", pos)
+                parts.append("�")
+                pos += 1
+        if pos == start:
+            self._err("missing-attribute-value", pos)
+        return pos, "".join(parts), pos
+
+    # ---- character references ---------------------------------------------
+
+    def _charref(self, pos: int, in_attr: bool) -> tuple[str | None, int]:
+        """pos = index after '&'. Returns (decoded or None, new_pos)."""
+        s, n = self.html, self.n
+        if pos >= n:
+            return None, pos
+        c = s[pos]
+        if c == "#":
+            pos += 1
+            hex_mode = pos < n and s[pos] in "xX"
+            if hex_mode:
+                m = _HEX_DIGITS.match(s, pos + 1)
+            else:
+                m = _DIGITS.match(s, pos)
+            if not m:
+                self._err("absence-of-digits-in-numeric-character-reference", pos)
+                return None, pos - 1  # re-scan '#...' as text after the '&'
+            digits = m.group()
+            newpos = m.end()
+            if newpos < n and s[newpos] == ";":
+                newpos += 1
+            else:
+                self._err("missing-semicolon-after-character-reference", newpos)
+            value = int(digits, 16 if hex_mode else 10)
+            if value > 0x10FFFF:
+                value = 0x110000
+            return replace_numeric_codepoint(value), newpos
+        matched = match_entity(s, pos)
+        if matched is None:
+            return None, pos
+        name, chars = matched
+        end = pos + len(name)
+        if not name.endswith(";"):
+            if in_attr and end < n and (s[end] == "=" or _ALNUM.match(s, end)):
+                # legacy rule: do not decode inside attributes when followed
+                # by '=' or alphanumeric
+                return "&" + name, end
+            self._err("missing-semicolon-after-character-reference", end)
+        return chars, end
+
+    # ---- markup declarations ----------------------------------------------
+
+    def _markup_declaration(self, lt_pos: int) -> None:
+        """self.pos right after '<!'."""
+        s, n = self.html, self.n
+        pos = self.pos
+        if s.startswith("--", pos):
+            self.pos = pos + 2
+            self._comment(lt_pos)
+            return
+        if s[pos:pos + 7].lower() == "doctype":
+            self.pos = pos + 7
+            self._doctype(lt_pos)
+            return
+        if s.startswith("[CDATA[", pos):
+            if self.allow_cdata:
+                self.pos = pos + 7
+                self.state = CDATA_SECTION
+                self._flush_text(lt_pos)
+                if self._qidx >= len(self._queue):
+                    self._run_cdata()
+                return
+            self._err("cdata-in-html-content", pos)
+            self.pos = pos + 7
+            self._bogus_comment(lt_pos, initial="[CDATA[")
+            return
+        self._err("incorrectly-opened-comment", pos)
+        self.pos = pos
+        self._bogus_comment(lt_pos)
+
+    def _bogus_comment(self, lt_pos: int, initial: str = "") -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        end = s.find(">", pos)
+        if end == -1:
+            data = initial + s[pos:]
+            self.pos = n
+            data = data.replace("\x00", "�")
+            self._emit((COMMENT, data, lt_pos, n))
+            self._eof()
+            return
+        data = initial + s[pos:end]
+        data = data.replace("\x00", "�")
+        self.pos = end + 1
+        self._emit((COMMENT, data, lt_pos, end + 1))
+
+    def _comment(self, lt_pos: int) -> None:
+        """Spec comment states. self.pos right after '<!--'."""
+        s, n = self.html, self.n
+        pos = self.pos
+        parts: list[str] = []
+
+        # comment start state
+        if pos < n and s[pos] == ">":
+            self._err("abrupt-closing-of-empty-comment", pos)
+            self.pos = pos + 1
+            self._emit((COMMENT, "", lt_pos, pos + 1))
+            return
+        if pos < n and s[pos] == "-" and pos + 1 < n and s[pos + 1] == ">":
+            self._err("abrupt-closing-of-empty-comment", pos)
+            self.pos = pos + 2
+            self._emit((COMMENT, "", lt_pos, pos + 2))
+            return
+
+        while True:
+            if pos >= n:
+                self._err("eof-in-comment", pos)
+                self.pos = n
+                self._emit((COMMENT, "".join(parts), lt_pos, n))
+                self._eof()
+                return
+            c = s[pos]
+            if c == "-":
+                # count dash run
+                dash_start = pos
+                while pos < n and s[pos] == "-":
+                    pos += 1
+                dashes = pos - dash_start
+                if pos >= n:
+                    # EOF: the comment-end / comment-end-dash states drop the
+                    # trailing dash run's last two (or lone) dashes
+                    parts.append("-" * max(0, dashes - 2))
+                    self._err("eof-in-comment", pos)
+                    self.pos = n
+                    self._emit((COMMENT, "".join(parts), lt_pos, n))
+                    self._eof()
+                    return
+                if dashes >= 2 and s[pos] == ">":
+                    parts.append("-" * (dashes - 2))
+                    self.pos = pos + 1
+                    self._emit((COMMENT, "".join(parts), lt_pos, pos + 1))
+                    return
+                if dashes >= 2 and s[pos] == "!":
+                    # comment end bang
+                    if pos + 1 < n and s[pos + 1] == ">":
+                        self._err("incorrectly-closed-comment", pos)
+                        parts.append("-" * (dashes - 2))
+                        self.pos = pos + 2
+                        self._emit((COMMENT, "".join(parts), lt_pos, pos + 2))
+                        return
+                    parts.append("-" * (dashes - 2) + "--!")
+                    pos += 1
+                    continue
+                parts.append("-" * dashes)
+                continue
+            if c == "\x00":
+                self._err("unexpected-null-character", pos)
+                parts.append("�")
+                pos += 1
+                continue
+            if c == "<":
+                # comment less-than-sign states: only matters for nested
+                # comment parse error; the text is appended verbatim
+                parts.append("<")
+                pos += 1
+                continue
+            m = _COMMENT_RUN.match(s, pos)
+            if m:
+                parts.append(m.group())
+                pos = m.end()
+
+    # ---- DOCTYPE -----------------------------------------------------------
+
+    def _doctype(self, lt_pos: int) -> None:
+        s, n = self.html, self.n
+        pos = self.pos
+        name: str | None = None
+        public_id: str | None = None
+        system_id: str | None = None
+        force_quirks = False
+
+        def emit(endpos: int) -> None:
+            self.pos = endpos
+            self._emit((DOCTYPE, name, public_id, system_id, force_quirks, lt_pos, endpos))
+
+        if pos < n and s[pos] not in _WS and s[pos] != ">":
+            self._err("missing-whitespace-before-doctype-name", pos)
+        while pos < n and s[pos] in _WS:
+            pos += 1
+        if pos >= n:
+            self._err("eof-in-doctype", pos)
+            force_quirks = True
+            emit(n)
+            self._eof()
+            return
+        if s[pos] == ">":
+            self._err("missing-doctype-name", pos)
+            force_quirks = True
+            emit(pos + 1)
+            return
+        m = _DOCTYPE_NAME_RUN.match(s, pos)
+        name = m.group().lower().replace("\x00", "�") if m else ""
+        pos = m.end() if m else pos
+
+        # after doctype name
+        while True:
+            while pos < n and s[pos] in _WS:
+                pos += 1
+            if pos >= n:
+                self._err("eof-in-doctype", pos)
+                force_quirks = True
+                emit(n)
+                self._eof()
+                return
+            if s[pos] == ">":
+                emit(pos + 1)
+                return
+            kw = s[pos:pos + 6].lower()
+            if kw == "public" and public_id is None and system_id is None:
+                pos += 6
+                pos, public_id, aborted = self._doctype_id(pos, "public")
+                if aborted:
+                    force_quirks = True
+                    if pos >= n:
+                        emit(n)
+                        self._eof()
+                        return
+                    if s[pos] == ">":
+                        emit(pos + 1)
+                        return
+                    # bogus doctype
+                    pos = self._skip_bogus_doctype(pos)
+                    emit(pos)
+                    return
+                continue
+            if kw == "system" and system_id is None:
+                pos += 6
+                pos, system_id, aborted = self._doctype_id(pos, "system")
+                if aborted:
+                    force_quirks = True
+                    if pos >= n:
+                        emit(n)
+                        self._eof()
+                        return
+                    if s[pos] == ">":
+                        emit(pos + 1)
+                        return
+                    pos = self._skip_bogus_doctype(pos)
+                    emit(pos)
+                    return
+                continue
+            if public_id is not None and system_id is None and s[pos] in "\"'":
+                # between public and system identifiers: quoted system id
+                pos, system_id, aborted = self._doctype_quoted(pos)
+                if aborted:
+                    force_quirks = True
+                    if pos >= n:
+                        emit(n)
+                        self._eof()
+                        return
+                continue
+            self._err("invalid-character-sequence-after-doctype-name", pos)
+            # after a valid system id, bogus chars do NOT force quirks
+            if system_id is None:
+                force_quirks = True
+            pos = self._skip_bogus_doctype(pos)
+            emit(pos)
+            return
+
+    def _doctype_id(self, pos: int, kind: str) -> tuple[int, str | None, bool]:
+        """After 'PUBLIC'/'SYSTEM' keyword. Returns (pos, id, aborted)."""
+        s, n = self.html, self.n
+        had_ws = False
+        while pos < n and s[pos] in _WS:
+            pos += 1
+            had_ws = True
+        if pos >= n:
+            self._err("eof-in-doctype", pos)
+            return n, None, True
+        c = s[pos]
+        if c in "\"'":
+            if not had_ws:
+                self._err(f"missing-whitespace-after-doctype-{kind}-keyword", pos)
+            pos2, ident, aborted = self._doctype_quoted(pos)
+            return pos2, ident, aborted
+        if c == ">":
+            self._err(f"missing-doctype-{kind}-identifier", pos)
+            return pos, None, True
+        self._err(f"missing-quote-before-doctype-{kind}-identifier", pos)
+        return pos, None, True
+
+    def _doctype_quoted(self, pos: int) -> tuple[int, str | None, bool]:
+        s, n = self.html, self.n
+        quote = s[pos]
+        pos += 1
+        end = s.find(quote, pos)
+        gt = s.find(">", pos)
+        if end == -1:
+            if gt == -1:
+                self._err("eof-in-doctype", n)
+                ident = s[pos:].replace("\x00", "�")
+                return n, ident, True
+            self._err("abrupt-doctype-identifier", gt)
+            ident = s[pos:gt].replace("\x00", "�")
+            return gt, ident, True
+        if gt != -1 and gt < end:
+            self._err("abrupt-doctype-identifier", gt)
+            ident = s[pos:gt].replace("\x00", "�")
+            return gt, ident, True
+        ident = s[pos:end].replace("\x00", "�")
+        return end + 1, ident, False
+
+    def _skip_bogus_doctype(self, pos: int) -> int:
+        s, n = self.html, self.n
+        end = s.find(">", pos)
+        if end == -1:
+            return n
+        return end + 1
