@@ -1,0 +1,324 @@
+"""Public parse API — parity layer over the htmlcore kernel.
+
+Mirrors the reference's public surface (reference: src/public/mod.ts:475-765):
+``parse`` / ``parse_bytes`` / ``parse_fragment`` produce a tree whose nodes
+carry POST-ORDER NodeIds (children numbered before their parent, document =
+id 1 — reference: convertTreeNode, mod.ts:386-439), normalized WHATWG parse
+error ids (mod.ts:260-269), metrics, and optional spans.
+
+Spans are code-point offsets into the decoded, newline-normalized text
+(the reference uses UTF-16 code-unit offsets; values are identical for
+BMP-only input — divergence documented in SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .dom import Document, DocumentFragment, Element, Text, Comment, Doctype, HTML_NS
+from .sniff import decode_html_bytes, SniffResult
+from .treebuilder import TreeBuilder
+from .tokenizer import normalize_newlines
+
+_WHATWG_ID = re.compile(r"^[a-z0-9]+(?:-[a-z0-9]+)*$")
+
+VOID_ELEMENTS = frozenset([
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+])
+
+
+class BudgetExceededError(Exception):
+    def __init__(self, budget: str, limit: int, actual: int):
+        super().__init__(f"Budget exceeded: {budget} limit={limit} actual={actual}")
+        self.payload = {"code": "BUDGET_EXCEEDED", "budget": budget,
+                        "limit": limit, "actual": actual}
+
+
+@dataclass(frozen=True)
+class Budgets:
+    max_input_bytes: int | None = None
+    max_buffered_bytes: int | None = None
+    max_nodes: int | None = None
+    max_depth: int | None = None
+    max_attributes_per_element: int | None = None
+    max_attribute_bytes: int | None = None
+    max_time_ms: int | None = None
+
+
+@dataclass(frozen=True)
+class ParseError:
+    code: str            # always "PARSER_ERROR"
+    parse_error_id: str  # normalized WHATWG id or "vendor:<raw>"
+    message: str
+    span: tuple[int, int] | None = None
+
+
+@dataclass
+class ParseTree:
+    """Document or fragment result. ``children`` are htmlcore DOM nodes that
+    carry ``nid`` (post-order NodeId) assigned by this layer via ``ids``."""
+    kind: str                       # "document" | "fragment"
+    id: int                         # NodeId of the root (always 1)
+    children: list
+    errors: list[ParseError]
+    quirks_mode: str
+    n_nodes: int                    # total incl. root
+    max_depth: int
+    context_tag_name: str | None = None
+    ids: dict[int, int] = field(default_factory=dict)      # id(node) -> NodeId
+    by_id: dict[int, object] = field(default_factory=dict)  # NodeId -> node
+    source_text: str = ""
+
+    def node_id(self, node) -> int:
+        return self.ids[id(node)]
+
+
+def normalize_parse_error_id(raw: str) -> str:
+    normalized = raw.strip()
+    if not normalized:
+        return "vendor:unknown"
+    if _WHATWG_ID.match(normalized):
+        return normalized
+    return f"vendor:{normalized}"
+
+
+# --------------------------------------------------------------------------
+# select/option compatibility patch (reference: src/internal/tree/build.ts:307-381)
+
+def _patch_select_adoption(root) -> None:
+    def walk(node) -> None:
+        kids = node.children if not isinstance(node, Element) or node.template_content is None \
+            else node.template_content
+        for child in kids:
+            if isinstance(child, Element):
+                walk(child)
+        if not (isinstance(node, Element) and node.name == "body"):
+            return
+        children = node.children
+        i = 0
+        while i < len(children) - 1:
+            left, right = children[i], children[i + 1]
+            ok = (isinstance(left, Element) and left.name == "select"
+                  and isinstance(right, Element) and right.name == "option"
+                  and not left.attrs and not right.attrs
+                  and len(left.children) == 1
+                  and isinstance(left.children[0], Element)
+                  and left.children[0].name == "option"
+                  and not left.children[0].attrs)
+            if not ok:
+                i += 1
+                continue
+            sel_child = left.children[0]
+            lw = Element("b", HTML_NS)
+            lw.children = [sel_child]
+            sel_child.parent = lw
+            lw.parent = left
+            left.children = [lw]
+
+            detached = [c for c in right.children if isinstance(c, Text)]
+            right.children = [c for c in right.children if not isinstance(c, Text)]
+            rw = Element("b", HTML_NS)
+            rw.children = [right]
+            right.parent = rw
+            rw.parent = node
+            children[i + 1] = rw
+            for j, t in enumerate(detached):
+                t.parent = node
+                children.insert(i + 2 + j, t)
+            i += 1
+
+    walk(root)
+
+
+# --------------------------------------------------------------------------
+# NodeId assignment (post-order, reference: convertTreeNode mod.ts:386-439)
+
+def _assign_ids(children: list) -> tuple[dict[int, int], dict[int, object], int, int]:
+    ids: dict[int, int] = {}
+    by_id: dict[int, object] = {}
+    counter = [1]  # id 1 taken by root
+
+    def visit(node) -> None:
+        if isinstance(node, Element):
+            for child in node.children:
+                visit(child)
+        counter[0] += 1
+        ids[id(node)] = counter[0]
+        by_id[counter[0]] = node
+
+    for child in children:
+        visit(child)
+
+    # metrics (reference: collectMetrics mod.ts:441-473)
+    def metrics(node, depth: int) -> tuple[int, int]:
+        if not isinstance(node, Element):
+            return 1, depth
+        nodes, max_depth = 1, depth
+        for child in node.children:
+            cn, cd = metrics(child, depth + 1)
+            nodes += cn
+            if cd > max_depth:
+                max_depth = cd
+        return nodes, max_depth
+
+    total, max_depth = 0, 1
+    for child in children:
+        cn, cd = metrics(child, 2)
+        total += cn
+        if cd > max_depth:
+            max_depth = cd
+    return ids, by_id, total + 1, max_depth
+
+
+def _record_tree_budget_errors(children: list, budgets: Budgets | None,
+                               errors: list[ParseError]) -> None:
+    if budgets is None:
+        return
+    max_nodes = budgets.max_nodes
+    max_depth = budgets.max_depth
+    max_attrs = budgets.max_attributes_per_element
+    max_attr_bytes = budgets.max_attribute_bytes
+    if max_nodes is None and max_depth is None and max_attrs is None and max_attr_bytes is None:
+        return
+    count = [0]
+
+    def visit(node, depth: int) -> None:
+        if isinstance(node, Element):
+            if max_attrs is not None and len(node.attrs) > max_attrs:
+                errors.append(ParseError(
+                    "PARSER_ERROR", "vendor:max-attributes-per-element-exceeded",
+                    "max-attributes-per-element-exceeded"))
+            if max_attr_bytes is not None:
+                total = sum(len(n) + len(v) for n, v in node.attrs)
+                if total > max_attr_bytes:
+                    errors.append(ParseError(
+                        "PARSER_ERROR", "vendor:max-attribute-bytes-exceeded",
+                        "max-attribute-bytes-exceeded"))
+        count[0] += 1
+        if max_depth is not None and depth > max_depth:
+            errors.append(ParseError(
+                "PARSER_ERROR", "vendor:max-depth-exceeded", "max-depth-exceeded"))
+        if max_nodes is not None and count[0] > max_nodes:
+            errors.append(ParseError(
+                "PARSER_ERROR", "vendor:max-nodes-exceeded", "max-nodes-exceeded"))
+        if isinstance(node, Element):
+            for child in node.children:
+                visit(child, depth + 1)
+
+    for child in children:
+        visit(child, 0)
+
+
+def _enforce(budget: str, limit: int | None, actual: int) -> None:
+    if limit is not None and actual > limit:
+        raise BudgetExceededError(budget, limit, actual)
+
+
+def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
+    out: list[ParseError] = []
+    for code, offset in tokenizer_errors:
+        out.append(ParseError("PARSER_ERROR", normalize_parse_error_id(code),
+                              code, (offset, offset)))
+    for rec in builder.errors:
+        span = (rec.start, rec.end) if rec.start is not None and rec.end is not None else None
+        out.append(ParseError("PARSER_ERROR", normalize_parse_error_id(rec.code),
+                              rec.code, span))
+    return out
+
+
+def parse(html: str, *, scripting_enabled: bool = True,
+          capture_spans: bool = False, budgets: Budgets | None = None) -> ParseTree:
+    _enforce("maxInputBytes",
+             budgets.max_input_bytes if budgets else None, len(html))
+    text, _removed = normalize_newlines(html)
+    builder = TreeBuilder(scripting_enabled=scripting_enabled,
+                          capture_spans=capture_spans)
+    doc = builder.parse(text)
+    _patch_select_adoption(doc)
+    errors = _collect_errors(builder, builder.tokenizer.errors)
+    _record_tree_budget_errors(doc.children, budgets, errors)
+    ids, by_id, n_nodes, max_depth = _assign_ids(doc.children)
+    _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
+    _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
+    return ParseTree("document", 1, doc.children, errors, doc.quirks_mode,
+                     n_nodes, max_depth, None, ids, by_id, text)
+
+
+def parse_bytes(data: bytes, *, transport_encoding_label: str | None = None,
+                scripting_enabled: bool = True, capture_spans: bool = False,
+                budgets: Budgets | None = None) -> ParseTree:
+    _enforce("maxInputBytes",
+             budgets.max_input_bytes if budgets else None, len(data))
+    text, sniff = decode_html_bytes(data, transport_encoding_label)
+    tree = parse(text, scripting_enabled=scripting_enabled,
+                 capture_spans=capture_spans, budgets=budgets)
+    tree.encoding = sniff  # type: ignore[attr-defined]
+    return tree
+
+
+_CONTEXT_DOCUMENT_HTML = (
+    "<!doctype html><html><head><title>x</title></head><body><table><tbody>"
+    "<tr><td></td></tr><caption></caption><colgroup></colgroup></table>"
+    "<frameset></frameset></body></html>"
+)
+_CONTEXT_DOCUMENT_FRAMESET = "<!doctype html><html><frameset></frameset></html>"
+
+
+def _find_element(children, tag: str) -> Element | None:
+    for child in children:
+        if isinstance(child, Element):
+            if child.name == tag:
+                return child
+            found = _find_element(child.children, tag)
+            if found is not None:
+                return found
+            if child.template_content:
+                found = _find_element(child.template_content, tag)
+                if found is not None:
+                    return found
+    return None
+
+
+def _create_fragment_context(tag: str) -> Element | None:
+    tag = tag.strip().lower()
+    if not tag:
+        return None
+    if tag == "frameset":
+        doc = TreeBuilder().parse(_CONTEXT_DOCUMENT_FRAMESET)
+        return _find_element(doc.children, tag)
+    if tag in ("html", "head", "body", "title"):
+        doc = TreeBuilder().parse(_CONTEXT_DOCUMENT_HTML)
+        return _find_element(doc.children, tag)
+    builder = TreeBuilder()
+    frag = builder.parse_fragment(f"<{tag}></{tag}>", Element("template", HTML_NS))
+    for child in frag.children:
+        if isinstance(child, Element) and child.name == tag:
+            return child
+    return None
+
+
+def parse_fragment(html: str, context_tag_name: str, *,
+                   scripting_enabled: bool = True, capture_spans: bool = False,
+                   budgets: Budgets | None = None) -> ParseTree:
+    normalized_context = context_tag_name.strip().lower()
+    if not normalized_context:
+        raise ValueError("contextTagName must be a non-empty tag name")
+    _enforce("maxInputBytes",
+             budgets.max_input_bytes if budgets else None, len(html))
+    text, _removed = normalize_newlines(html)
+    context = _create_fragment_context(normalized_context)
+    if context is None:
+        context = Element("template", HTML_NS)
+    builder = TreeBuilder(scripting_enabled=scripting_enabled,
+                          capture_spans=capture_spans)
+    frag = builder.parse_fragment(text, context)
+    _patch_select_adoption(frag)
+    errors = _collect_errors(builder, builder.tokenizer.errors)
+    _record_tree_budget_errors(frag.children, budgets, errors)
+    ids, by_id, n_nodes, max_depth = _assign_ids(frag.children)
+    _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
+    _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
+    return ParseTree("fragment", 1, frag.children, errors, "no-quirks",
+                     n_nodes, max_depth, normalized_context, ids, by_id, text)

@@ -1,0 +1,2290 @@
+"""WHATWG HTML5 tree construction — from-scratch Python implementation.
+
+Spec: https://html.spec.whatwg.org/multipage/parsing.html#tree-construction
+Behavioral parity target: the reference's tree stage
+(reference: src/internal/vendor/parse5/parser/index.js — studied for behavior
+only; independent implementation driven by the spec's insertion modes).
+
+The builder pulls tokens from ``tokenizer.Tokenizer`` and drives its state
+switches (RCDATA/RAWTEXT/script data/PLAINTEXT/CDATA gating) exactly as the
+spec's tree-construction dispatcher does.
+"""
+
+from __future__ import annotations
+
+from .dom import (
+    HTML_NS, SVG_NS, MATHML_NS,
+    Document, DocumentFragment, Element, Text, Comment, Doctype,
+    SPECIAL_HTML, FORMATTING, IMPLIED_END, IMPLIED_END_THOROUGH, HEADINGS,
+    TABLE_CONTEXT, SCOPE_DEFAULT, SCOPE_LIST_ITEM, SCOPE_BUTTON, SCOPE_TABLE,
+    SVG_TAG_ADJUST, SVG_ATTR_ADJUST, FOREIGN_ATTR_ADJUST, FOREIGN_BREAKOUT,
+    is_special, is_mathml_text_ip, is_html_ip, is_all_ws, doctype_quirks,
+)
+from .tokenizer import (
+    Tokenizer, CHARS, START, END, COMMENT, DOCTYPE, EOF,
+    DATA, RCDATA, RAWTEXT, SCRIPT_DATA, PLAINTEXT,
+)
+
+# insertion modes
+INITIAL = "initial"
+BEFORE_HTML = "beforeHtml"
+BEFORE_HEAD = "beforeHead"
+IN_HEAD = "inHead"
+IN_HEAD_NOSCRIPT = "inHeadNoscript"
+AFTER_HEAD = "afterHead"
+IN_BODY = "inBody"
+TEXT = "text"
+IN_TABLE = "inTable"
+IN_TABLE_TEXT = "inTableText"
+IN_CAPTION = "inCaption"
+IN_COLUMN_GROUP = "inColumnGroup"
+IN_TABLE_BODY = "inTableBody"
+IN_ROW = "inRow"
+IN_CELL = "inCell"
+IN_SELECT = "inSelect"
+IN_SELECT_IN_TABLE = "inSelectInTable"
+IN_TEMPLATE = "inTemplate"
+AFTER_BODY = "afterBody"
+IN_FRAMESET = "inFrameset"
+AFTER_FRAMESET = "afterFrameset"
+AFTER_AFTER_BODY = "afterAfterBody"
+AFTER_AFTER_FRAMESET = "afterAfterFrameset"
+
+_MARKER = object()  # active-formatting-elements marker
+
+_IN_HEAD_START = frozenset(["base", "basefont", "bgsound", "link", "meta",
+                            "noframes", "script", "style", "template",
+                            "title", "noscript"])
+
+_BLOCK_START = frozenset("""
+address article aside blockquote center details dialog dir div dl fieldset
+figcaption figure footer header hgroup main menu nav ol p search section
+summary ul
+""".split())
+
+_BLOCK_END = frozenset("""
+address article aside blockquote button center details dialog dir div dl
+fieldset figcaption figure footer header hgroup listing main menu nav ol pre
+search section summary ul
+""".split())
+
+
+class ParseErrorRec:
+    __slots__ = ("code", "start", "end")
+
+    def __init__(self, code: str, start: int | None = None, end: int | None = None):
+        self.code = code
+        self.start = start
+        self.end = end
+
+
+class TreeBuilder:
+    def __init__(self, scripting_enabled: bool = True, capture_spans: bool = False):
+        self.scripting_enabled = scripting_enabled
+        self.capture_spans = capture_spans
+        self.errors: list[ParseErrorRec] = []
+
+    # ------------------------------------------------------------------ setup
+
+    def _init_state(self) -> None:
+        self.doc = Document()
+        self.stack: list[Element] = []
+        self.afe: list = []  # entries: [element, token] or _MARKER
+        self.head_el: Element | None = None
+        self.form_el: Element | None = None
+        self.mode = INITIAL
+        self.orig_mode: str | None = None
+        self.template_modes: list[str] = []
+        self.frameset_ok = True
+        self.foster_parenting = False
+        self.pending_table_text: list[tuple] = []
+        self.fragment_context: Element | None = None
+        self.fragment_root: Element | None = None
+        self.stopped = False
+        self.ignore_next_lf = False
+        self._cur_token: tuple | None = None
+
+    # ---------------------------------------------------------------- parsing
+
+    def parse(self, html: str) -> Document:
+        self._init_state()
+        tk = Tokenizer(html)
+        self.tokenizer = tk
+        self._run()
+        return self.doc
+
+    def parse_fragment(self, html: str, context: Element) -> DocumentFragment:
+        self._init_state()
+        self.fragment_context = context
+        tk = Tokenizer(html)
+        self.tokenizer = tk
+        name = context.name if context.ns == HTML_NS else ""
+        if name in ("title", "textarea"):
+            tk.state = RCDATA
+            tk.last_start_tag = name
+        elif name in ("style", "xmp", "iframe", "noembed", "noframes"):
+            tk.state = RAWTEXT
+            tk.last_start_tag = name
+        elif name == "script":
+            tk.state = SCRIPT_DATA
+            tk.last_start_tag = name
+        elif name == "noscript" and self.scripting_enabled:
+            tk.state = RAWTEXT
+            tk.last_start_tag = name
+        elif name == "plaintext":
+            tk.state = PLAINTEXT
+        root = Element("html", HTML_NS)
+        self.fragment_root = root
+        self.stack.append(root)
+        if name == "template":
+            self.template_modes.append(IN_TEMPLATE)
+        self._reset_insertion_mode()
+        # form pointer: nearest form ancestor (context itself in our usage)
+        node = context
+        while node is not None:
+            if isinstance(node, Element) and node.ns == HTML_NS and node.name == "form":
+                self.form_el = node
+                break
+            node = getattr(node, "parent", None)
+        self._run()
+        frag = DocumentFragment()
+        frag.children = list(root.children)
+        for child in frag.children:
+            child.parent = None
+        return frag
+
+    def _run(self) -> None:
+        tk = self.tokenizer
+        while not self.stopped:
+            tk.allow_cdata = self._allow_cdata()
+            token = tk.next_token()
+            self._cur_token = token
+            self._dispatch(token)
+            if token[0] == EOF:
+                break
+
+    # ------------------------------------------------------------ small utils
+
+    def _err(self, code: str, token: tuple | None = None) -> None:
+        tok = token or self._cur_token
+        if tok is not None and len(tok) >= 3 and tok[0] != EOF:
+            self.errors.append(ParseErrorRec(code, tok[-2], tok[-1]))
+        else:
+            self.errors.append(ParseErrorRec(code))
+
+    @property
+    def current(self) -> Element:
+        return self.stack[-1]
+
+    def _adjusted_current(self) -> Element | None:
+        if not self.stack:
+            return None
+        if self.fragment_context is not None and len(self.stack) == 1:
+            return self.fragment_context
+        return self.stack[-1]
+
+    def _allow_cdata(self) -> bool:
+        acn = self._adjusted_current()
+        if acn is None or acn.ns == HTML_NS:
+            return False
+        return not (is_mathml_text_ip(acn) or is_html_ip(acn))
+
+    # ------------------------------------------------------------- tree edits
+
+    def _content_of(self, el: Element):
+        if el.template_content is not None:
+            return el.template_content
+        return el.children
+
+    def _append(self, parent, node) -> None:
+        if isinstance(parent, Element):
+            self._content_of(parent).append(node)
+        else:
+            parent.children.append(node)
+        node.parent = parent
+
+    def _detach(self, node) -> None:
+        p = node.parent
+        if p is None:
+            return
+        kids = self._content_of(p) if isinstance(p, Element) else p.children
+        try:
+            kids.remove(node)
+        except ValueError:
+            pass
+        node.parent = None
+
+    def _appropriate_place(self, override: Element | None = None):
+        """Returns (parent, index|None-for-append)."""
+        target = override or self.current
+        if self.foster_parenting and target.ns == HTML_NS and target.name in TABLE_CONTEXT:
+            last_template = None
+            last_table = None
+            t_idx = -1
+            for i in range(len(self.stack) - 1, -1, -1):
+                el = self.stack[i]
+                if last_template is None and el.name == "template" and el.ns == HTML_NS:
+                    last_template = (el, i)
+                if last_table is None and el.name == "table" and el.ns == HTML_NS:
+                    last_table = (el, i)
+                if last_template and last_table:
+                    break
+            if last_template and (not last_table or last_template[1] > last_table[1]):
+                return (last_template[0], None)
+            if last_table is None:
+                return (self.stack[0], None)
+            table, ti = last_table
+            if table.parent is not None:
+                parent = table.parent
+                kids = self._content_of(parent) if isinstance(parent, Element) else parent.children
+                return (parent, kids.index(table))
+            return (self.stack[ti - 1], None)
+        return (target, None)
+
+    def _insert_at(self, place, node) -> None:
+        parent, index = place
+        if index is None:
+            self._append(parent, node)
+        else:
+            kids = self._content_of(parent) if isinstance(parent, Element) else parent.children
+            kids.insert(index, node)
+            node.parent = parent
+
+    def _insert_text(self, data: str, start: int = -1, end: int = -1) -> None:
+        if not data:
+            return
+        place = self._appropriate_place()
+        parent, index = place
+        kids = self._content_of(parent) if isinstance(parent, Element) else parent.children
+        prev = None
+        if index is None:
+            prev = kids[-1] if kids else None
+        elif index > 0:
+            prev = kids[index - 1]
+        if isinstance(prev, Text):
+            prev.value += data
+            if self.capture_spans and end >= 0:
+                prev.end = end
+            return
+        self._insert_at(place, Text(data, start if self.capture_spans else -1,
+                                    end if self.capture_spans else -1))
+
+    def _create_element(self, token: tuple, ns: str = HTML_NS,
+                        adjust: str | None = None) -> Element:
+        _, name, attrs, self_closing, start, end = token
+        if adjust == "svg":
+            name = SVG_TAG_ADJUST.get(name, name)
+            out_attrs = []
+            spans = [] if self.capture_spans else None
+            for a in attrs:
+                an = SVG_ATTR_ADJUST.get(a[0], a[0])
+                an = FOREIGN_ATTR_ADJUST.get(an, an)
+                out_attrs.append((an, a[1]))
+                if spans is not None:
+                    spans.append((a[2], a[3]))
+        elif adjust == "math":
+            out_attrs = []
+            spans = [] if self.capture_spans else None
+            for a in attrs:
+                an = "definitionURL" if a[0] == "definitionurl" else a[0]
+                an = FOREIGN_ATTR_ADJUST.get(an, an)
+                out_attrs.append((an, a[1]))
+                if spans is not None:
+                    spans.append((a[2], a[3]))
+        else:
+            out_attrs = [(a[0], a[1]) for a in attrs]
+            spans = [(a[2], a[3]) for a in attrs] if self.capture_spans else None
+        el = Element(name, ns, out_attrs,
+                     start if self.capture_spans else -1,
+                     end if self.capture_spans else -1,
+                     spans)
+        return el
+
+    def _insert_element(self, token: tuple, ns: str = HTML_NS,
+                        adjust: str | None = None) -> Element:
+        el = self._create_element(token, ns, adjust)
+        self._insert_at(self._appropriate_place(), el)
+        self.stack.append(el)
+        return el
+
+    def _insert_phantom(self, name: str) -> Element:
+        el = Element(name, HTML_NS)
+        self._insert_at(self._appropriate_place(), el)
+        self.stack.append(el)
+        return el
+
+    def _pop(self) -> Element:
+        el = self.stack.pop()
+        if self.capture_spans:
+            self._set_end_location(el)
+        return el
+
+    def _set_end_location(self, el: Element) -> None:
+        tok = self._cur_token
+        if el.start < 0 or tok is None:
+            return
+        if tok[0] == END and tok[1] == el.name:
+            el.end = tok[-1]
+        elif tok[0] == EOF:
+            el.end = self.tokenizer.n
+        else:
+            el.end = tok[-2] if len(tok) >= 3 else el.end
+
+    def _pop_until_name(self, names) -> None:
+        if isinstance(names, str):
+            names = (names,)
+        while self.stack:
+            el = self._pop()
+            if el.ns == HTML_NS and el.name in names:
+                return
+
+    def _pop_until_element(self, el: Element) -> None:
+        while self.stack:
+            if self._pop() is el:
+                return
+
+    def _generate_implied_end(self, exclude: str | None = None,
+                              thorough: bool = False) -> None:
+        names = IMPLIED_END_THOROUGH if thorough else IMPLIED_END
+        while self.stack:
+            cur = self.current
+            if cur.ns == HTML_NS and cur.name in names and cur.name != exclude:
+                self._pop()
+            else:
+                return
+
+    # ---------------------------------------------------------------- scopes
+
+    def _has_in_scope(self, name: str, scope=SCOPE_DEFAULT) -> bool:
+        html_t, math_t, svg_t = scope
+        for el in reversed(self.stack):
+            if el.ns == HTML_NS:
+                if el.name == name:
+                    return True
+                if el.name in html_t:
+                    return False
+            elif el.ns == MATHML_NS:
+                if el.name in math_t:
+                    return False
+            elif el.ns == SVG_NS:
+                if el.name in svg_t:
+                    return False
+        return False
+
+    def _has_element_in_scope(self, target: Element, scope=SCOPE_DEFAULT) -> bool:
+        html_t, math_t, svg_t = scope
+        for el in reversed(self.stack):
+            if el is target:
+                return True
+            if el.ns == HTML_NS and el.name in html_t:
+                return False
+            if el.ns == MATHML_NS and el.name in math_t:
+                return False
+            if el.ns == SVG_NS and el.name in svg_t:
+                return False
+        return False
+
+    def _has_in_select_scope(self, name: str) -> bool:
+        for el in reversed(self.stack):
+            if el.ns == HTML_NS:
+                if el.name == name:
+                    return True
+                if el.name not in ("optgroup", "option"):
+                    return False
+            else:
+                return False
+        return False
+
+    # --------------------------------------------------- formatting elements
+
+    def _afe_push(self, el: Element, token: tuple) -> None:
+        # Noah's Ark clause: max 3 matching entries since last marker
+        count = 0
+        earliest = None
+        for i in range(len(self.afe) - 1, -1, -1):
+            entry = self.afe[i]
+            if entry is _MARKER:
+                break
+            cand = entry[0]
+            if (cand.name == el.name and cand.ns == el.ns
+                    and sorted(cand.attrs) == sorted(el.attrs)):
+                count += 1
+                earliest = i
+        if count >= 3 and earliest is not None:
+            del self.afe[earliest]
+        self.afe.append([el, token])
+
+    def _afe_push_marker(self) -> None:
+        self.afe.append(_MARKER)
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            entry = self.afe.pop()
+            if entry is _MARKER:
+                return
+
+    def _afe_find(self, name: str):
+        for i in range(len(self.afe) - 1, -1, -1):
+            entry = self.afe[i]
+            if entry is _MARKER:
+                return None
+            if entry[0].name == name and entry[0].ns == HTML_NS:
+                return entry
+        return None
+
+    def _afe_remove_element(self, el: Element) -> None:
+        for i in range(len(self.afe) - 1, -1, -1):
+            entry = self.afe[i]
+            if entry is not _MARKER and entry[0] is el:
+                del self.afe[i]
+                return
+
+    def _reconstruct_afe(self) -> None:
+        if not self.afe:
+            return
+        last = self.afe[-1]
+        if last is _MARKER or last[0] in self.stack:
+            return
+        i = len(self.afe) - 1
+        while i > 0:
+            i -= 1
+            entry = self.afe[i]
+            if entry is _MARKER or entry[0] in self.stack:
+                i += 1
+                break
+        while i < len(self.afe):
+            entry = self.afe[i]
+            el = self._create_element(entry[1])
+            self._insert_at(self._appropriate_place(), el)
+            self.stack.append(el)
+            entry[0] = el
+            i += 1
+
+    # ------------------------------------------------------------- mode reset
+
+    def _reset_insertion_mode(self) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            last = i == 0
+            if last and self.fragment_context is not None:
+                node = self.fragment_context
+            name = node.name if node.ns == HTML_NS else ""
+            if name == "select":
+                mode = IN_SELECT
+                for j in range(i - 1, 0, -1):
+                    anc = self.stack[j]
+                    if anc.ns == HTML_NS:
+                        if anc.name == "template":
+                            break
+                        if anc.name == "table":
+                            mode = IN_SELECT_IN_TABLE
+                            break
+                self.mode = mode
+                return
+            if name in ("td", "th") and not last:
+                self.mode = IN_CELL
+                return
+            if name == "tr":
+                self.mode = IN_ROW
+                return
+            if name in ("tbody", "thead", "tfoot"):
+                self.mode = IN_TABLE_BODY
+                return
+            if name == "caption":
+                self.mode = IN_CAPTION
+                return
+            if name == "colgroup":
+                self.mode = IN_COLUMN_GROUP
+                return
+            if name == "table":
+                self.mode = IN_TABLE
+                return
+            if name == "template":
+                self.mode = self.template_modes[-1]
+                return
+            if name == "head" and not last:
+                self.mode = IN_HEAD
+                return
+            if name == "body":
+                self.mode = IN_BODY
+                return
+            if name == "frameset":
+                self.mode = IN_FRAMESET
+                return
+            if name == "html":
+                self.mode = BEFORE_HEAD if self.head_el is None else AFTER_HEAD
+                return
+            if last:
+                self.mode = IN_BODY
+                return
+
+    # ------------------------------------------------------------ dispatcher
+
+    def _dispatch(self, token: tuple) -> None:
+        kind = token[0]
+        acn = self._adjusted_current()
+        if (acn is None or acn.ns == HTML_NS or kind == EOF):
+            self._process(token)
+            return
+        if is_mathml_text_ip(acn):
+            if kind == CHARS or (kind == START and token[1] not in ("mglyph", "malignmark")):
+                self._process(token)
+                return
+        if acn.ns == MATHML_NS and acn.name == "annotation-xml" and kind == START and token[1] == "svg":
+            self._process(token)
+            return
+        if is_html_ip(acn) and kind in (CHARS, START):
+            self._process(token)
+            return
+        self._foreign_content(token)
+
+    def _process(self, token: tuple) -> None:
+        handler = _MODE_HANDLERS[self.mode]
+        handler(self, token)
+
+    # ------------------------------------------------------- foreign content
+
+    def _foreign_content(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            if "\x00" in data:
+                self._err("unexpected-null-character")
+                data = data.replace("\x00", "�")
+            if self.ignore_next_lf:
+                self.ignore_next_lf = False
+                if data.startswith("\n"):
+                    data = data[1:]
+            self._insert_text(data, token[2], token[3])
+            if not is_all_ws(data):
+                self.frameset_ok = False
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            name = token[1]
+            font_breaks = name == "font" and any(
+                a[0] in ("color", "face", "size") for a in token[2])
+            if name in FOREIGN_BREAKOUT or font_breaks:
+                self._err("unexpected-html-element-in-foreign-content")
+                while self.stack:
+                    cur = self.current
+                    if (cur.ns == HTML_NS or is_mathml_text_ip(cur) or is_html_ip(cur)):
+                        break
+                    self._pop()
+                self._process(token)
+                return
+            acn = self._adjusted_current()
+            ns = acn.ns
+            adjust = "svg" if ns == SVG_NS else ("math" if ns == MATHML_NS else None)
+            el = self._create_element(token, ns, adjust)
+            self._insert_at(self._appropriate_place(), el)
+            if token[3]:  # self-closing
+                if self.capture_spans:
+                    el.end = token[-1]
+            else:
+                self.stack.append(el)
+            return
+        if kind == END:
+            name = token[1]
+            cur = self.current
+            if cur.ns == SVG_NS and name == "script" and cur.name == "script":
+                self._pop()
+                return
+            if name in ("br", "p"):
+                # spec: same breakout handling as the start-tag list
+                self._err("unexpected-html-element-in-foreign-content")
+                while self.stack:
+                    c = self.current
+                    if c.ns == HTML_NS or is_mathml_text_ip(c) or is_html_ip(c):
+                        break
+                    self._pop()
+                self._process(token)
+                return
+            if cur.name.lower() != name:
+                self._err("end-tag-without-matching-open-element")
+            for i in range(len(self.stack) - 1, 0, -1):
+                node = self.stack[i]
+                if node.name.lower() == name:
+                    while self.stack[-1] is not node:
+                        self._pop()
+                    self._pop()
+                    return
+                if self.stack[i - 1].ns == HTML_NS:
+                    break
+            if self.stack and self.stack[-1].ns == HTML_NS:
+                self._process(token)
+
+    # ---------------------------------------------------------- mode: initial
+
+    def _m_initial(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1].lstrip("\t\n\f\r ")
+            if not data:
+                return
+            k = len(token[1]) - len(data)
+            token = (CHARS, data, token[2] + k, token[3])
+        elif kind == COMMENT:
+            self._append(self.doc, Comment(token[1], token[2], token[3]))
+            return
+        elif kind == DOCTYPE:
+            _, name, public_id, system_id, force_quirks, start, end = token
+            node = Doctype(name or "", public_id, system_id, start, end)
+            self._append(self.doc, node)
+            self.doc.quirks_mode = doctype_quirks(name, public_id, system_id, force_quirks)
+            self.mode = BEFORE_HTML
+            return
+        # anything else
+        self._err("missing-doctype")
+        self.doc.quirks_mode = "quirks"
+        self.mode = BEFORE_HTML
+        self._process(token)
+
+    # ------------------------------------------------------ mode: before html
+
+    def _m_before_html(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == COMMENT:
+            self._append(self.doc, Comment(token[1], token[2], token[3]))
+            return
+        if kind == CHARS:
+            data = token[1].lstrip("\t\n\f\r ")
+            if not data:
+                return
+            k = len(token[1]) - len(data)
+            token = (CHARS, data, token[2] + k, token[3])
+        elif kind == START and token[1] == "html":
+            el = self._create_element(token)
+            self._append(self.doc, el)
+            self.stack.append(el)
+            self.mode = BEFORE_HEAD
+            return
+        elif kind == END and token[1] not in ("head", "body", "html", "br"):
+            self._err("unexpected-end-tag")
+            return
+        el = Element("html", HTML_NS)
+        self._append(self.doc, el)
+        self.stack.append(el)
+        self.mode = BEFORE_HEAD
+        self._process(token)
+
+    # ------------------------------------------------------ mode: before head
+
+    def _m_before_head(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1].lstrip("\t\n\f\r ")
+            if not data:
+                return
+            k = len(token[1]) - len(data)
+            token = (CHARS, data, token[2] + k, token[3])
+        elif kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        elif kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        elif kind == START:
+            if token[1] == "html":
+                self._m_in_body(token)
+                return
+            if token[1] == "head":
+                self.head_el = self._insert_element(token)
+                self.mode = IN_HEAD
+                return
+        elif kind == END and token[1] not in ("head", "body", "html", "br"):
+            self._err("unexpected-end-tag")
+            return
+        self.head_el = self._insert_phantom("head")
+        self.mode = IN_HEAD
+        self._process(token)
+
+    # --------------------------------------------------------- mode: in head
+
+    def _m_in_head(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            if ws_len:
+                self._insert_text(data[:ws_len], token[2], token[3] if ws_len == len(data) else token[2])
+            if ws_len == len(data):
+                return
+            token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
+        elif kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        elif kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        elif kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                el = self._insert_element(token)
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            if name == "title":
+                self._parse_rawtext(token, RCDATA)
+                return
+            if name in ("noframes", "style") or (name == "noscript" and self.scripting_enabled):
+                self._parse_rawtext(token, RAWTEXT)
+                return
+            if name == "noscript":
+                self._insert_element(token)
+                self.mode = IN_HEAD_NOSCRIPT
+                return
+            if name == "script":
+                self._insert_element(token)
+                self.tokenizer.state = SCRIPT_DATA
+                self.tokenizer.last_start_tag = "script"
+                self.orig_mode = self.mode
+                self.mode = TEXT
+                return
+            if name == "template":
+                self._insert_element(token)
+                self._afe_push_marker()
+                self.frameset_ok = False
+                self.mode = IN_TEMPLATE
+                self.template_modes.append(IN_TEMPLATE)
+                return
+            if name == "head":
+                self._err("duplicate-head")
+                return
+        elif kind == END:
+            name = token[1]
+            if name == "head":
+                self._pop()
+                self.mode = AFTER_HEAD
+                return
+            if name == "template":
+                if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end(thorough=True)
+                if self.current.name != "template":
+                    self._err("closing-of-element-with-open-child-elements")
+                self._pop_until_name("template")
+                self._afe_clear_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
+                self._reset_insertion_mode()
+                return
+            if name not in ("body", "html", "br"):
+                self._err("unexpected-end-tag")
+                return
+        self._pop()
+        self.mode = AFTER_HEAD
+        self._process(token)
+
+    # ----------------------------------------------- mode: in head noscript
+
+    def _m_in_head_noscript(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name in ("basefont", "bgsound", "link", "meta", "noframes", "style"):
+                self._m_in_head(token)
+                return
+            if name in ("head", "noscript"):
+                self._err("unexpected-start-tag")
+                return
+        elif kind == END:
+            if token[1] == "noscript":
+                self._pop()
+                self.mode = IN_HEAD
+                return
+            if token[1] != "br":
+                self._err("unexpected-end-tag")
+                return
+        elif kind == COMMENT:
+            self._m_in_head(token)
+            return
+        elif kind == CHARS:
+            data = token[1]
+            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            if ws_len:
+                self._insert_text(data[:ws_len], token[2], token[2])
+            if ws_len == len(data):
+                return
+            token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
+        self._err("unexpected-token-in-head-noscript")
+        self._pop()
+        self.mode = IN_HEAD
+        self._process(token)
+
+    # ------------------------------------------------------- mode: after head
+
+    def _m_after_head(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            if ws_len:
+                self._insert_text(data[:ws_len], token[2], token[2])
+            if ws_len == len(data):
+                return
+            token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
+        elif kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        elif kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        elif kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name == "body":
+                self._insert_element(token)
+                self.frameset_ok = False
+                self.mode = IN_BODY
+                return
+            if name == "frameset":
+                self._insert_element(token)
+                self.mode = IN_FRAMESET
+                return
+            if name in _IN_HEAD_START and name != "noscript":
+                self._err("unexpected-start-tag-out-of-head")
+                assert self.head_el is not None
+                self.stack.append(self.head_el)
+                self._m_in_head(token)
+                try:
+                    self.stack.remove(self.head_el)
+                except ValueError:
+                    pass
+                return
+            if name == "head":
+                self._err("unexpected-start-tag")
+                return
+        elif kind == END:
+            if token[1] == "template":
+                self._m_in_head(token)
+                return
+            if token[1] not in ("body", "html", "br"):
+                self._err("unexpected-end-tag")
+                return
+        self._insert_phantom("body")
+        self.mode = IN_BODY
+        self._process(token)
+
+    # --------------------------------------------------------- mode: in body
+
+    def _close_p(self) -> None:
+        self._generate_implied_end(exclude="p")
+        if self.current.name != "p":
+            self._err("unclosed-p")
+        self._pop_until_name("p")
+
+    def _m_in_body(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            if self.ignore_next_lf:
+                self.ignore_next_lf = False
+                if data.startswith("\n"):
+                    data = data[1:]
+                    if not data:
+                        return
+            if "\x00" in data:
+                self._err("unexpected-null-character")
+                data = data.replace("\x00", "")
+                if not data:
+                    return
+            self._reconstruct_afe()
+            self._insert_text(data, token[2], token[3])
+            if not is_all_ws(data):
+                self.frameset_ok = False
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            self._in_body_start(token)
+            return
+        if kind == END:
+            self._in_body_end(token)
+            return
+        if kind == EOF:
+            if self.template_modes:
+                self._m_in_template(token)
+                return
+            self._stop_parsing()
+
+    def _in_body_start(self, token: tuple) -> None:
+        name = token[1]
+        if name == "html":
+            self._err("non-void-html-element-start-tag-with-trailing-solidus"
+                      if token[3] else "unexpected-start-tag")
+            if any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+                return
+            top = self.stack[0]
+            existing = {a[0] for a in top.attrs}
+            for a in token[2]:
+                if a[0] not in existing:
+                    top.attrs.append((a[0], a[1]))
+            return
+        if name in _IN_HEAD_START and name != "noscript":
+            self._m_in_head(token)
+            return
+        if name == "noscript" and self.scripting_enabled:
+            self._m_in_head(token)
+            return
+        if name == "body":
+            self._err("unexpected-start-tag")
+            if (len(self.stack) < 2 or self.stack[1].name != "body"
+                    or any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
+                return
+            self.frameset_ok = False
+            body = self.stack[1]
+            existing = {a[0] for a in body.attrs}
+            for a in token[2]:
+                if a[0] not in existing:
+                    body.attrs.append((a[0], a[1]))
+            return
+        if name == "frameset":
+            self._err("unexpected-start-tag")
+            if len(self.stack) < 2 or self.stack[1].name != "body":
+                return
+            if not self.frameset_ok:
+                return
+            body = self.stack[1]
+            self._detach(body)
+            del self.stack[1:]
+            self._insert_element(token)
+            self.mode = IN_FRAMESET
+            return
+        if name in _BLOCK_START:
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._insert_element(token)
+            return
+        if name in HEADINGS:
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            if self.current.ns == HTML_NS and self.current.name in HEADINGS:
+                self._err("unexpected-start-tag")
+                self._pop()
+            self._insert_element(token)
+            return
+        if name in ("pre", "listing"):
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._insert_element(token)
+            self.ignore_next_lf = True
+            self.frameset_ok = False
+            return
+        if name == "form":
+            if (self.form_el is not None
+                    and not any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
+                self._err("unexpected-start-tag")
+                return
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            el = self._insert_element(token)
+            if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+                self.form_el = el
+            return
+        if name == "li":
+            self.frameset_ok = False
+            for i in range(len(self.stack) - 1, -1, -1):
+                node = self.stack[i]
+                if node.ns == HTML_NS and node.name == "li":
+                    self._generate_implied_end(exclude="li")
+                    if self.current.name != "li":
+                        self._err("unexpected-start-tag")
+                    self._pop_until_name("li")
+                    break
+                if is_special(node) and not (
+                        node.ns == HTML_NS and node.name in ("address", "div", "p")):
+                    break
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._insert_element(token)
+            return
+        if name in ("dd", "dt"):
+            self.frameset_ok = False
+            for i in range(len(self.stack) - 1, -1, -1):
+                node = self.stack[i]
+                if node.ns == HTML_NS and node.name in ("dd", "dt"):
+                    self._generate_implied_end(exclude=node.name)
+                    if self.current.name != node.name:
+                        self._err("unexpected-start-tag")
+                    self._pop_until_name(("dd", "dt"))
+                    break
+                if is_special(node) and not (
+                        node.ns == HTML_NS and node.name in ("address", "div", "p")):
+                    break
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._insert_element(token)
+            return
+        if name == "plaintext":
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._insert_element(token)
+            self.tokenizer.state = PLAINTEXT
+            return
+        if name == "button":
+            if self._has_in_scope("button"):
+                self._err("unexpected-start-tag")
+                self._generate_implied_end()
+                self._pop_until_name("button")
+            self._reconstruct_afe()
+            self._insert_element(token)
+            self.frameset_ok = False
+            return
+        if name == "a":
+            entry = self._afe_find("a")
+            if entry is not None:
+                self._err("unexpected-start-tag")
+                el = entry[0]
+                self._adoption_agency(("</>", "a", token[-2], token[-1]))
+                if el in [e[0] for e in self.afe if e is not _MARKER]:
+                    self._afe_remove_element(el)
+                if el in self.stack:
+                    self.stack.remove(el)
+            self._reconstruct_afe()
+            el = self._insert_element(token)
+            self._afe_push(el, token)
+            return
+        if name in FORMATTING:  # b big code em font i s small strike strong tt u
+            self._reconstruct_afe()
+            if name == "nobr" and self._has_in_scope("nobr"):
+                self._err("unexpected-start-tag")
+                self._adoption_agency(("</>", "nobr", token[-2], token[-1]))
+                self._reconstruct_afe()
+            el = self._insert_element(token)
+            self._afe_push(el, token)
+            return
+        if name in ("applet", "marquee", "object"):
+            self._reconstruct_afe()
+            self._insert_element(token)
+            self._afe_push_marker()
+            self.frameset_ok = False
+            return
+        if name == "table":
+            if (self.doc.quirks_mode != "quirks"
+                    and self._has_in_scope("p", SCOPE_BUTTON)):
+                self._close_p()
+            self._insert_element(token)
+            self.frameset_ok = False
+            self.mode = IN_TABLE
+            return
+        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+            self._reconstruct_afe()
+            el = self._insert_element(token)
+            self.stack.pop()
+            if self.capture_spans:
+                el.end = token[-1]
+            self.frameset_ok = False
+            return
+        if name == "input":
+            self._reconstruct_afe()
+            el = self._insert_element(token)
+            self.stack.pop()
+            if self.capture_spans:
+                el.end = token[-1]
+            type_attr = next((a[1] for a in token[2] if a[0] == "type"), None)
+            if type_attr is None or type_attr.lower() != "hidden":
+                self.frameset_ok = False
+            return
+        if name in ("param", "source", "track"):
+            el = self._insert_element(token)
+            self.stack.pop()
+            if self.capture_spans:
+                el.end = token[-1]
+            return
+        if name == "hr":
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            el = self._insert_element(token)
+            self.stack.pop()
+            if self.capture_spans:
+                el.end = token[-1]
+            self.frameset_ok = False
+            return
+        if name == "image":
+            self._err("unexpected-start-tag")
+            self._in_body_start((START, "img", token[2], token[3], token[4], token[5]))
+            return
+        if name == "textarea":
+            self._insert_element(token)
+            self.ignore_next_lf = True
+            self.tokenizer.state = RCDATA
+            self.tokenizer.last_start_tag = "textarea"
+            self.orig_mode = self.mode
+            self.frameset_ok = False
+            self.mode = TEXT
+            return
+        if name == "xmp":
+            if self._has_in_scope("p", SCOPE_BUTTON):
+                self._close_p()
+            self._reconstruct_afe()
+            self.frameset_ok = False
+            self._parse_rawtext(token, RAWTEXT)
+            return
+        if name == "iframe":
+            self.frameset_ok = False
+            self._parse_rawtext(token, RAWTEXT)
+            return
+        if name == "noembed":
+            self._parse_rawtext(token, RAWTEXT)
+            return
+        if name == "select":
+            self._reconstruct_afe()
+            self._insert_element(token)
+            self.frameset_ok = False
+            if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
+                self.mode = IN_SELECT_IN_TABLE
+            else:
+                self.mode = IN_SELECT
+            return
+        if name in ("optgroup", "option"):
+            if self.current.ns == HTML_NS and self.current.name == "option":
+                self._pop()
+            self._reconstruct_afe()
+            self._insert_element(token)
+            return
+        if name in ("rb", "rtc"):
+            if self._has_in_scope("ruby"):
+                self._generate_implied_end()
+                if self.current.name != "ruby":
+                    self._err("unexpected-start-tag")
+            self._insert_element(token)
+            return
+        if name in ("rp", "rt"):
+            if self._has_in_scope("ruby"):
+                self._generate_implied_end(exclude="rtc")
+                if self.current.name not in ("rtc", "ruby"):
+                    self._err("unexpected-start-tag")
+            self._insert_element(token)
+            return
+        if name == "math":
+            self._reconstruct_afe()
+            el = self._create_element(token, MATHML_NS, "math")
+            self._insert_at(self._appropriate_place(), el)
+            if token[3]:
+                if self.capture_spans:
+                    el.end = token[-1]
+            else:
+                self.stack.append(el)
+            return
+        if name == "svg":
+            self._reconstruct_afe()
+            el = self._create_element(token, SVG_NS, "svg")
+            self._insert_at(self._appropriate_place(), el)
+            if token[3]:
+                if self.capture_spans:
+                    el.end = token[-1]
+            else:
+                self.stack.append(el)
+            return
+        if name in ("caption", "col", "colgroup", "frame", "head",
+                    "tbody", "td", "tfoot", "th", "thead", "tr"):
+            self._err("unexpected-start-tag")
+            return
+        self._reconstruct_afe()
+        self._insert_element(token)
+
+    def _in_body_end(self, token: tuple) -> None:
+        name = token[1]
+        if name == "template":
+            self._m_in_head(token)
+            return
+        if name == "body":
+            if not self._has_in_scope("body"):
+                self._err("unexpected-end-tag")
+                return
+            self.mode = AFTER_BODY
+            if self.capture_spans:
+                for el in self.stack:
+                    if el.name == "body" and el.ns == HTML_NS:
+                        el.end = token[-1]
+                        break
+            return
+        if name == "html":
+            if not self._has_in_scope("body"):
+                self._err("unexpected-end-tag")
+                return
+            self.mode = AFTER_BODY
+            self._process(token)
+            return
+        if name in _BLOCK_END:
+            if not self._has_in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.current.name != name:
+                self._err("end-tag-too-early")
+            self._pop_until_name(name)
+            return
+        if name == "form":
+            if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+                node = self.form_el
+                self.form_el = None
+                if node is None or not self._has_element_in_scope(node):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end()
+                if self.current is not node:
+                    self._err("end-tag-too-early-ignored")
+                if node in self.stack:
+                    if self.capture_spans:
+                        self._set_end_location(node)
+                    self.stack.remove(node)
+            else:
+                if not self._has_in_scope("form"):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end()
+                if self.current.name != "form":
+                    self._err("end-tag-too-early-ignored")
+                self._pop_until_name("form")
+            return
+        if name == "p":
+            if not self._has_in_scope("p", SCOPE_BUTTON):
+                self._err("unexpected-end-tag")
+                self._insert_phantom("p")
+            self._close_p()
+            return
+        if name == "li":
+            if not self._has_in_scope("li", SCOPE_LIST_ITEM):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end(exclude="li")
+            if self.current.name != "li":
+                self._err("end-tag-too-early")
+            self._pop_until_name("li")
+            return
+        if name in ("dd", "dt"):
+            if not self._has_in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end(exclude=name)
+            if self.current.name != name:
+                self._err("end-tag-too-early")
+            self._pop_until_name(name)
+            return
+        if name in HEADINGS:
+            if not any(self._has_in_scope(h) for h in HEADINGS):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.current.name != name:
+                self._err("end-tag-too-early")
+            while self.stack:
+                el = self._pop()
+                if el.ns == HTML_NS and el.name in HEADINGS:
+                    break
+            return
+        if name in FORMATTING or name == "nobr":
+            self._adoption_agency(token)
+            return
+        if name in ("applet", "marquee", "object"):
+            if not self._has_in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.current.name != name:
+                self._err("end-tag-too-early")
+            self._pop_until_name(name)
+            self._afe_clear_to_marker()
+            return
+        if name == "br":
+            self._err("unexpected-end-tag-treated-as")
+            self._in_body_start((START, "br", [], False, token[-2], token[-1]))
+            return
+        # any other end tag
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.ns == HTML_NS and node.name == name:
+                self._generate_implied_end(exclude=name)
+                if self.current is not node:
+                    self._err("unexpected-end-tag")
+                self._pop_until_element(node)
+                return
+            if is_special(node):
+                self._err("unexpected-end-tag")
+                return
+
+    # --------------------------------------------------- adoption agency
+
+    def _adoption_agency(self, token: tuple) -> None:
+        subject = token[1]
+        cur = self.current
+        if (cur.ns == HTML_NS and cur.name == subject
+                and not any(e is not _MARKER and e[0] is cur for e in self.afe)):
+            self._pop()
+            return
+        for _ in range(8):
+            entry = self._afe_find(subject)
+            if entry is None:
+                self._in_body_any_other_end(token)
+                return
+            fmt_el = entry[0]
+            if fmt_el not in self.stack:
+                self._err("adoption-agency-1.2")
+                self._afe_remove_element(fmt_el)
+                return
+            if not self._has_element_in_scope(fmt_el):
+                self._err("adoption-agency-4.4")
+                return
+            if fmt_el is not self.current:
+                self._err("adoption-agency-1.3")
+            fmt_idx = self.stack.index(fmt_el)
+            furthest = None
+            for i in range(fmt_idx + 1, len(self.stack)):
+                if is_special(self.stack[i]):
+                    furthest = self.stack[i]
+                    furthest_idx = i
+                    break
+            if furthest is None:
+                while self.stack[-1] is not fmt_el:
+                    self._pop()
+                self._pop()
+                self._afe_remove_element(fmt_el)
+                return
+            common_ancestor = self.stack[fmt_idx - 1]
+            bookmark = self.afe.index(entry)
+            node = furthest
+            last_node = furthest
+            node_idx = furthest_idx
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node = self.stack[node_idx]
+                if node is fmt_el:
+                    break
+                node_entry = None
+                for e in self.afe:
+                    if e is not _MARKER and e[0] is node:
+                        node_entry = e
+                        break
+                if inner > 3 and node_entry is not None:
+                    self.afe.remove(node_entry)
+                    if self.afe.index(entry) < bookmark:
+                        bookmark -= 1
+                    node_entry = None
+                if node_entry is None:
+                    self.stack.remove(node)
+                    continue
+                clone = Element(node.name, node.ns, list(node.attrs),
+                                node.start, node.end,
+                                list(node.attr_spans) if node.attr_spans else None)
+                node_entry[0] = clone
+                self.stack[self.stack.index(node)] = clone
+                node = clone
+                if last_node is furthest:
+                    bookmark = self.afe.index(node_entry) + 1
+                self._detach(last_node)
+                self._append(node, last_node)
+                last_node = node
+            self._detach(last_node)
+            if (common_ancestor.ns == HTML_NS
+                    and common_ancestor.name in TABLE_CONTEXT):
+                saved = self.foster_parenting
+                self.foster_parenting = True
+                place = self._appropriate_place(common_ancestor)
+                self.foster_parenting = saved
+                self._insert_at(place, last_node)
+            else:
+                self._append(common_ancestor, last_node)
+            clone = Element(fmt_el.name, fmt_el.ns, list(fmt_el.attrs),
+                            fmt_el.start, fmt_el.end,
+                            list(fmt_el.attr_spans) if fmt_el.attr_spans else None)
+            for child in list(furthest.children):
+                self._detach(child)
+                self._append(clone, child)
+            self._append(furthest, clone)
+            self._afe_remove_element(fmt_el)
+            idx = min(bookmark, len(self.afe))
+            self.afe.insert(idx, [clone, entry[1]])
+            self.stack.remove(fmt_el)
+            self.stack.insert(self.stack.index(furthest) + 1, clone)
+
+    def _in_body_any_other_end(self, token: tuple) -> None:
+        name = token[1]
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.ns == HTML_NS and node.name == name:
+                self._generate_implied_end(exclude=name)
+                if self.current is not node:
+                    self._err("unexpected-end-tag")
+                self._pop_until_element(node)
+                return
+            if is_special(node):
+                self._err("unexpected-end-tag")
+                return
+
+    # ------------------------------------------------------------ mode: text
+
+    def _m_text(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            if self.ignore_next_lf:
+                self.ignore_next_lf = False
+                if data.startswith("\n"):
+                    data = data[1:]
+                    if not data:
+                        return
+            self._insert_text(data, token[2], token[3])
+            return
+        if kind == EOF:
+            self._err("eof-in-element-that-can-contain-only-text")
+            self._pop()
+            self.mode = self.orig_mode or IN_BODY
+            self._process(token)
+            return
+        # end tag (the only other token possible here)
+        self._pop()
+        self.mode = self.orig_mode or IN_BODY
+
+    def _parse_rawtext(self, token: tuple, tokenizer_state: str) -> None:
+        self._insert_element(token)
+        self.tokenizer.state = tokenizer_state
+        self.tokenizer.last_start_tag = token[1]
+        self.orig_mode = self.mode
+        self.mode = TEXT
+
+    # -------------------------------------------------------- mode: in table
+
+    def _m_in_table(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            if self.current.ns == HTML_NS and self.current.name in TABLE_CONTEXT:
+                self.pending_table_text = []
+                self.orig_mode = self.mode
+                self.mode = IN_TABLE_TEXT
+                self._process(token)
+                return
+            self._in_table_anything_else(token)
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            name = token[1]
+            if name == "caption":
+                self._clear_stack_to_table_context()
+                self._afe_push_marker()
+                self._insert_element(token)
+                self.mode = IN_CAPTION
+                return
+            if name == "colgroup":
+                self._clear_stack_to_table_context()
+                self._insert_element(token)
+                self.mode = IN_COLUMN_GROUP
+                return
+            if name == "col":
+                self._clear_stack_to_table_context()
+                self._insert_phantom("colgroup")
+                self.mode = IN_COLUMN_GROUP
+                self._process(token)
+                return
+            if name in ("tbody", "tfoot", "thead"):
+                self._clear_stack_to_table_context()
+                self._insert_element(token)
+                self.mode = IN_TABLE_BODY
+                return
+            if name in ("td", "th", "tr"):
+                self._clear_stack_to_table_context()
+                self._insert_phantom("tbody")
+                self.mode = IN_TABLE_BODY
+                self._process(token)
+                return
+            if name == "table":
+                self._err("unexpected-start-tag-implies-end-tag")
+                if not self._has_in_scope("table", SCOPE_TABLE):
+                    return
+                self._pop_until_name("table")
+                self._reset_insertion_mode()
+                self._process(token)
+                return
+            if name in ("style", "script", "template"):
+                self._m_in_head(token)
+                return
+            if name == "input":
+                type_attr = next((a[1] for a in token[2] if a[0] == "type"), None)
+                if type_attr is None or type_attr.lower() != "hidden":
+                    self._in_table_anything_else(token)
+                    return
+                self._err("unexpected-hidden-input-in-table")
+                el = self._insert_element(token)
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            if name == "form":
+                self._err("unexpected-form-in-table")
+                if (self.form_el is not None
+                        or any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
+                    return
+                el = self._insert_element(token)
+                self.form_el = el
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            self._in_table_anything_else(token)
+            return
+        if kind == END:
+            name = token[1]
+            if name == "table":
+                if not self._has_in_scope("table", SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._pop_until_name("table")
+                self._reset_insertion_mode()
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "tbody",
+                        "td", "tfoot", "th", "thead", "tr"):
+                self._err("unexpected-end-tag")
+                return
+            if name == "template":
+                self._m_in_head(token)
+                return
+            self._in_table_anything_else(token)
+            return
+        if kind == EOF:
+            self._m_in_body(token)
+
+    def _in_table_anything_else(self, token: tuple) -> None:
+        self._err("unexpected-token-in-table")
+        self.foster_parenting = True
+        self._m_in_body(token)
+        self.foster_parenting = False
+
+    def _clear_stack_to_table_context(self) -> None:
+        while self.stack:
+            cur = self.current
+            if cur.ns == HTML_NS and cur.name in ("table", "template", "html"):
+                return
+            self._pop()
+
+    # --------------------------------------------------- mode: in table text
+
+    def _m_in_table_text(self, token: tuple) -> None:
+        if token[0] == CHARS:
+            data = token[1]
+            if "\x00" in data:
+                self._err("unexpected-null-character")
+                data = data.replace("\x00", "")
+            if data:
+                self.pending_table_text.append((data, token[2], token[3]))
+            return
+        pending = self.pending_table_text
+        self.pending_table_text = []
+        all_ws = all(is_all_ws(d) for d, _, _ in pending)
+        if not all_ws:
+            self._err("non-space-in-table-text")
+            for d, s, e in pending:
+                self.foster_parenting = True
+                self._reconstruct_afe()
+                self._insert_text(d, s, e)
+                self.foster_parenting = False
+                if not is_all_ws(d):
+                    self.frameset_ok = False
+        else:
+            for d, s, e in pending:
+                self._insert_text(d, s, e)
+        self.mode = self.orig_mode or IN_TABLE
+        self._process(token)
+
+    # ------------------------------------------------------ mode: in caption
+
+    def _m_in_caption(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == START and token[1] in ("caption", "col", "colgroup", "tbody",
+                                          "td", "tfoot", "th", "thead", "tr"):
+            if not self._has_in_scope("caption", SCOPE_TABLE):
+                self._err("unexpected-start-tag")
+                return
+            self._generate_implied_end()
+            if self.current.name != "caption":
+                self._err("end-tag-too-early")
+            self._pop_until_name("caption")
+            self._afe_clear_to_marker()
+            self.mode = IN_TABLE
+            self._process(token)
+            return
+        if kind == END:
+            name = token[1]
+            if name == "caption":
+                if not self._has_in_scope("caption", SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end()
+                if self.current.name != "caption":
+                    self._err("end-tag-too-early")
+                self._pop_until_name("caption")
+                self._afe_clear_to_marker()
+                self.mode = IN_TABLE
+                return
+            if name == "table":
+                if not self._has_in_scope("caption", SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end()
+                if self.current.name != "caption":
+                    self._err("end-tag-too-early")
+                self._pop_until_name("caption")
+                self._afe_clear_to_marker()
+                self.mode = IN_TABLE
+                self._process(token)
+                return
+            if name in ("body", "col", "colgroup", "html", "tbody", "td",
+                        "tfoot", "th", "thead", "tr"):
+                self._err("unexpected-end-tag")
+                return
+        self._m_in_body(token)
+
+    # ------------------------------------------------- mode: in column group
+
+    def _m_in_column_group(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            if ws_len:
+                self._insert_text(data[:ws_len], token[2], token[2])
+            if ws_len == len(data):
+                return
+            token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
+        elif kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        elif kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        elif kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name == "col":
+                el = self._insert_element(token)
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            if name == "template":
+                self._m_in_head(token)
+                return
+        elif kind == END:
+            if token[1] == "colgroup":
+                if self.current.name != "colgroup":
+                    self._err("unexpected-end-tag")
+                    return
+                self._pop()
+                self.mode = IN_TABLE
+                return
+            if token[1] == "col":
+                self._err("unexpected-end-tag")
+                return
+            if token[1] == "template":
+                self._m_in_head(token)
+                return
+        elif kind == EOF:
+            self._m_in_body(token)
+            return
+        if self.current.name != "colgroup":
+            self._err("unexpected-token")
+            return
+        self._pop()
+        self.mode = IN_TABLE
+        self._process(token)
+
+    # --------------------------------------------------- mode: in table body
+
+    def _m_in_table_body(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == START:
+            name = token[1]
+            if name == "tr":
+                self._clear_stack_to_table_body_context()
+                self._insert_element(token)
+                self.mode = IN_ROW
+                return
+            if name in ("th", "td"):
+                self._err("unexpected-cell-in-table-body")
+                self._clear_stack_to_table_body_context()
+                self._insert_phantom("tr")
+                self.mode = IN_ROW
+                self._process(token)
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+                if not (self._has_in_scope("tbody", SCOPE_TABLE)
+                        or self._has_in_scope("thead", SCOPE_TABLE)
+                        or self._has_in_scope("tfoot", SCOPE_TABLE)):
+                    self._err("unexpected-start-tag")
+                    return
+                self._clear_stack_to_table_body_context()
+                self._pop()
+                self.mode = IN_TABLE
+                self._process(token)
+                return
+        elif kind == END:
+            name = token[1]
+            if name in ("tbody", "tfoot", "thead"):
+                if not self._has_in_scope(name, SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_body_context()
+                self._pop()
+                self.mode = IN_TABLE
+                return
+            if name == "table":
+                if not (self._has_in_scope("tbody", SCOPE_TABLE)
+                        or self._has_in_scope("thead", SCOPE_TABLE)
+                        or self._has_in_scope("tfoot", SCOPE_TABLE)):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_body_context()
+                self._pop()
+                self.mode = IN_TABLE
+                self._process(token)
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "td", "th", "tr"):
+                self._err("unexpected-end-tag")
+                return
+        self._m_in_table(token)
+
+    def _clear_stack_to_table_body_context(self) -> None:
+        while self.stack:
+            cur = self.current
+            if cur.ns == HTML_NS and cur.name in ("tbody", "tfoot", "thead",
+                                                  "template", "html"):
+                return
+            self._pop()
+
+    # --------------------------------------------------------- mode: in row
+
+    def _m_in_row(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == START:
+            name = token[1]
+            if name in ("th", "td"):
+                self._clear_stack_to_table_row_context()
+                self._insert_element(token)
+                self.mode = IN_CELL
+                self._afe_push_marker()
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead", "tr"):
+                if not self._has_in_scope("tr", SCOPE_TABLE):
+                    self._err("unexpected-start-tag")
+                    return
+                self._clear_stack_to_table_row_context()
+                self._pop()
+                self.mode = IN_TABLE_BODY
+                self._process(token)
+                return
+        elif kind == END:
+            name = token[1]
+            if name == "tr":
+                if not self._has_in_scope("tr", SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_row_context()
+                self._pop()
+                self.mode = IN_TABLE_BODY
+                return
+            if name == "table":
+                if not self._has_in_scope("tr", SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_row_context()
+                self._pop()
+                self.mode = IN_TABLE_BODY
+                self._process(token)
+                return
+            if name in ("tbody", "tfoot", "thead"):
+                if not self._has_in_scope(name, SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                if not self._has_in_scope("tr", SCOPE_TABLE):
+                    return
+                self._clear_stack_to_table_row_context()
+                self._pop()
+                self.mode = IN_TABLE_BODY
+                self._process(token)
+                return
+            if name in ("body", "caption", "col", "colgroup", "html", "td", "th"):
+                self._err("unexpected-end-tag")
+                return
+        self._m_in_table(token)
+
+    def _clear_stack_to_table_row_context(self) -> None:
+        while self.stack:
+            cur = self.current
+            if cur.ns == HTML_NS and cur.name in ("tr", "template", "html"):
+                return
+            self._pop()
+
+    # --------------------------------------------------------- mode: in cell
+
+    def _m_in_cell(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == START and token[1] in ("caption", "col", "colgroup", "tbody",
+                                          "td", "tfoot", "th", "thead", "tr"):
+            if not (self._has_in_scope("td", SCOPE_TABLE)
+                    or self._has_in_scope("th", SCOPE_TABLE)):
+                self._err("unexpected-start-tag")
+                return
+            self._close_cell()
+            self._process(token)
+            return
+        if kind == END:
+            name = token[1]
+            if name in ("td", "th"):
+                if not self._has_in_scope(name, SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._generate_implied_end()
+                if self.current.name != name:
+                    self._err("end-tag-too-early")
+                self._pop_until_name(name)
+                self._afe_clear_to_marker()
+                self.mode = IN_ROW
+                return
+            if name in ("body", "caption", "col", "colgroup", "html"):
+                self._err("unexpected-end-tag")
+                return
+            if name in ("table", "tbody", "tfoot", "thead", "tr"):
+                if not self._has_in_scope(name, SCOPE_TABLE):
+                    self._err("unexpected-end-tag")
+                    return
+                self._close_cell()
+                self._process(token)
+                return
+        self._m_in_body(token)
+
+    def _close_cell(self) -> None:
+        self._generate_implied_end()
+        if self.current.name not in ("td", "th"):
+            self._err("cell-not-closed")
+        while self.stack:
+            el = self._pop()
+            if el.ns == HTML_NS and el.name in ("td", "th"):
+                break
+        self._afe_clear_to_marker()
+        self.mode = IN_ROW
+
+    # ------------------------------------------------------- mode: in select
+
+    def _m_in_select(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            data = token[1]
+            if "\x00" in data:
+                self._err("unexpected-null-character")
+                data = data.replace("\x00", "")
+            self._insert_text(data, token[2], token[3])
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name == "option":
+                if self.current.name == "option":
+                    self._pop()
+                self._insert_element(token)
+                return
+            if name == "optgroup":
+                if self.current.name == "option":
+                    self._pop()
+                if self.current.name == "optgroup":
+                    self._pop()
+                self._insert_element(token)
+                return
+            if name == "hr":
+                if self.current.name == "option":
+                    self._pop()
+                if self.current.name == "optgroup":
+                    self._pop()
+                el = self._insert_element(token)
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            if name == "select":
+                self._err("unexpected-select-in-select")
+                if self._has_in_select_scope("select"):
+                    self._pop_until_name("select")
+                    self._reset_insertion_mode()
+                return
+            if name in ("input", "keygen", "textarea"):
+                self._err("unexpected-input-in-select")
+                if not self._has_in_select_scope("select"):
+                    return
+                self._pop_until_name("select")
+                self._reset_insertion_mode()
+                self._process(token)
+                return
+            if name in ("script", "template"):
+                self._m_in_head(token)
+                return
+        elif kind == END:
+            name = token[1]
+            if name == "optgroup":
+                if (self.current.name == "option" and len(self.stack) > 1
+                        and self.stack[-2].name == "optgroup"):
+                    self._pop()
+                if self.current.name == "optgroup":
+                    self._pop()
+                else:
+                    self._err("unexpected-end-tag")
+                return
+            if name == "option":
+                if self.current.name == "option":
+                    self._pop()
+                else:
+                    self._err("unexpected-end-tag")
+                return
+            if name == "select":
+                if not self._has_in_select_scope("select"):
+                    self._err("unexpected-end-tag")
+                    return
+                self._pop_until_name("select")
+                self._reset_insertion_mode()
+                return
+            if name == "template":
+                self._m_in_head(token)
+                return
+        elif kind == EOF:
+            self._m_in_body(token)
+            return
+        self._err("unexpected-token-in-select")
+
+    # ---------------------------------------------- mode: in select in table
+
+    def _m_in_select_in_table(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == START and token[1] in ("caption", "table", "tbody", "tfoot",
+                                          "thead", "tr", "td", "th"):
+            self._err("unexpected-table-element-in-select")
+            self._pop_until_name("select")
+            self._reset_insertion_mode()
+            self._process(token)
+            return
+        if kind == END and token[1] in ("caption", "table", "tbody", "tfoot",
+                                        "thead", "tr", "td", "th"):
+            self._err("unexpected-table-end-tag-in-select")
+            if not self._has_in_scope(token[1], SCOPE_TABLE):
+                return
+            self._pop_until_name("select")
+            self._reset_insertion_mode()
+            self._process(token)
+            return
+        self._m_in_select(token)
+
+    # ----------------------------------------------------- mode: in template
+
+    def _m_in_template(self, token: tuple) -> None:
+        kind = token[0]
+        if kind in (CHARS, COMMENT, DOCTYPE):
+            self._m_in_body(token)
+            return
+        if kind == START:
+            name = token[1]
+            if name in _IN_HEAD_START:
+                self._m_in_head(token)
+                return
+            if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+                self.template_modes[-1] = IN_TABLE
+                self.mode = IN_TABLE
+                self._process(token)
+                return
+            if name == "col":
+                self.template_modes[-1] = IN_COLUMN_GROUP
+                self.mode = IN_COLUMN_GROUP
+                self._process(token)
+                return
+            if name == "tr":
+                self.template_modes[-1] = IN_TABLE_BODY
+                self.mode = IN_TABLE_BODY
+                self._process(token)
+                return
+            if name in ("td", "th"):
+                self.template_modes[-1] = IN_ROW
+                self.mode = IN_ROW
+                self._process(token)
+                return
+            self.template_modes[-1] = IN_BODY
+            self.mode = IN_BODY
+            self._process(token)
+            return
+        if kind == END:
+            if token[1] == "template":
+                self._m_in_head(token)
+            else:
+                self._err("unexpected-end-tag")
+            return
+        if kind == EOF:
+            if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+                self._stop_parsing()
+                return
+            self._err("eof-in-template")
+            self._pop_until_name("template")
+            self._afe_clear_to_marker()
+            if self.template_modes:
+                self.template_modes.pop()
+            self._reset_insertion_mode()
+            self._process(token)
+
+    # ------------------------------------------------------ mode: after body
+
+    def _m_after_body(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            if is_all_ws(token[1]):
+                self._m_in_body(token)
+                return
+            self._err("unexpected-char-after-body")
+            self.mode = IN_BODY
+            self._process(token)
+            return
+        if kind == COMMENT:
+            html_el = self.stack[0]
+            self._append(html_el, Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == END and token[1] == "html":
+            if self.fragment_context is not None:
+                self._err("unexpected-end-tag")
+                return
+            self.mode = AFTER_AFTER_BODY
+            if self.capture_spans:
+                self.stack[0].end = token[-1]
+            return
+        if kind == EOF:
+            self._stop_parsing()
+            return
+        self._err("unexpected-token-after-body")
+        self.mode = IN_BODY
+        self._process(token)
+
+    # ----------------------------------------------------- mode: in frameset
+
+    def _m_in_frameset(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            if len(ws) != len(token[1]):
+                self._err("unexpected-char-in-frameset")
+            if ws:
+                self._insert_text(ws, token[2], token[3])
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            name = token[1]
+            if name == "html":
+                self._m_in_body(token)
+                return
+            if name == "frameset":
+                self._insert_element(token)
+                return
+            if name == "frame":
+                el = self._insert_element(token)
+                self.stack.pop()
+                if self.capture_spans:
+                    el.end = token[-1]
+                return
+            if name == "noframes":
+                self._m_in_head(token)
+                return
+        elif kind == END:
+            if token[1] == "frameset":
+                if self.current.name == "html":
+                    self._err("unexpected-frameset-end")
+                    return
+                self._pop()
+                if (self.fragment_context is None
+                        and self.current.name != "frameset"):
+                    self.mode = AFTER_FRAMESET
+                return
+        elif kind == EOF:
+            if self.current.name != "html":
+                self._err("eof-in-frameset")
+            self._stop_parsing()
+            return
+        self._err("unexpected-token-in-frameset")
+
+    # -------------------------------------------------- mode: after frameset
+
+    def _m_after_frameset(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == CHARS:
+            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            if len(ws) != len(token[1]):
+                self._err("unexpected-char-after-frameset")
+            if ws:
+                self._insert_text(ws, token[2], token[3])
+            return
+        if kind == COMMENT:
+            self._insert_at(self._appropriate_place(),
+                            Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._err("unexpected-doctype")
+            return
+        if kind == START:
+            if token[1] == "html":
+                self._m_in_body(token)
+                return
+            if token[1] == "noframes":
+                self._m_in_head(token)
+                return
+        elif kind == END:
+            if token[1] == "html":
+                self.mode = AFTER_AFTER_FRAMESET
+                return
+        elif kind == EOF:
+            self._stop_parsing()
+            return
+        self._err("unexpected-token-after-frameset")
+
+    # ------------------------------------------------ mode: after after body
+
+    def _m_after_after_body(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == COMMENT:
+            self._append(self.doc, Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._m_in_body(token)
+            return
+        if kind == CHARS:
+            if is_all_ws(token[1]):
+                self._m_in_body(token)
+                return
+            self._err("unexpected-char-after-body")
+            self.mode = IN_BODY
+            self._process(token)
+            return
+        if kind == START and token[1] == "html":
+            self._m_in_body(token)
+            return
+        if kind == EOF:
+            self._stop_parsing()
+            return
+        self._err("unexpected-token-after-body")
+        self.mode = IN_BODY
+        self._process(token)
+
+    # -------------------------------------------- mode: after after frameset
+
+    def _m_after_after_frameset(self, token: tuple) -> None:
+        kind = token[0]
+        if kind == COMMENT:
+            self._append(self.doc, Comment(token[1], token[2], token[3]))
+            return
+        if kind == DOCTYPE:
+            self._m_in_body(token)
+            return
+        if kind == CHARS:
+            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            if len(ws) != len(token[1]):
+                self._err("unexpected-char-after-frameset")
+            if ws:
+                self._m_in_body((CHARS, ws, token[2], token[3]))
+            return
+        if kind == START and token[1] == "html":
+            self._m_in_body(token)
+            return
+        if kind == START and token[1] == "noframes":
+            self._m_in_head(token)
+            return
+        if kind == EOF:
+            self._stop_parsing()
+            return
+        self._err("unexpected-token-after-frameset")
+
+    # ---------------------------------------------------------- stop parsing
+
+    def _stop_parsing(self) -> None:
+        self.stopped = True
+        if self.capture_spans:
+            n = self.tokenizer.n
+            for el in self.stack:
+                if el.start >= 0 and el.end < 0:
+                    el.end = n
+        self.stack.clear()
+
+
+_MODE_HANDLERS = {
+    INITIAL: TreeBuilder._m_initial,
+    BEFORE_HTML: TreeBuilder._m_before_html,
+    BEFORE_HEAD: TreeBuilder._m_before_head,
+    IN_HEAD: TreeBuilder._m_in_head,
+    IN_HEAD_NOSCRIPT: TreeBuilder._m_in_head_noscript,
+    AFTER_HEAD: TreeBuilder._m_after_head,
+    IN_BODY: TreeBuilder._m_in_body,
+    TEXT: TreeBuilder._m_text,
+    IN_TABLE: TreeBuilder._m_in_table,
+    IN_TABLE_TEXT: TreeBuilder._m_in_table_text,
+    IN_CAPTION: TreeBuilder._m_in_caption,
+    IN_COLUMN_GROUP: TreeBuilder._m_in_column_group,
+    IN_TABLE_BODY: TreeBuilder._m_in_table_body,
+    IN_ROW: TreeBuilder._m_in_row,
+    IN_CELL: TreeBuilder._m_in_cell,
+    IN_SELECT: TreeBuilder._m_in_select,
+    IN_SELECT_IN_TABLE: TreeBuilder._m_in_select_in_table,
+    IN_TEMPLATE: TreeBuilder._m_in_template,
+    AFTER_BODY: TreeBuilder._m_after_body,
+    IN_FRAMESET: TreeBuilder._m_in_frameset,
+    AFTER_FRAMESET: TreeBuilder._m_after_frameset,
+    AFTER_AFTER_BODY: TreeBuilder._m_after_after_body,
+    AFTER_AFTER_FRAMESET: TreeBuilder._m_after_after_frameset,
+}
