@@ -50,7 +50,16 @@ AFTER_FRAMESET = "afterFrameset"
 AFTER_AFTER_BODY = "afterAfterBody"
 AFTER_AFTER_FRAMESET = "afterAfterFrameset"
 
+_SEGMENTED_MODES = frozenset({
+    INITIAL, BEFORE_HTML, BEFORE_HEAD, IN_HEAD, IN_HEAD_NOSCRIPT, AFTER_HEAD,
+    IN_COLUMN_GROUP, AFTER_BODY, AFTER_AFTER_BODY, IN_FRAMESET,
+    AFTER_FRAMESET, AFTER_AFTER_FRAMESET,
+})
+
 _MARKER = object()  # active-formatting-elements marker
+
+import re as _re
+_SEG_RE = _re.compile(r"[\t\n\f\r ]+|[^\t\n\f\r ]+")
 
 _IN_HEAD_START = frozenset(["base", "basefont", "bgsound", "link", "meta",
                             "noframes", "script", "style", "template",
@@ -118,19 +127,16 @@ class TreeBuilder:
         self.fragment_context = context
         tk = Tokenizer(html)
         self.tokenizer = tk
+        # fragment context arms only the tokenizer STATE — not the
+        # appropriate-end-tag name — so '</title>' inside a title fragment
+        # stays raw text (matches the reference's fragment behavior)
         name = context.name if context.ns == HTML_NS else ""
         if name in ("title", "textarea"):
             tk.state = RCDATA
-            tk.last_start_tag = name
-        elif name in ("style", "xmp", "iframe", "noembed", "noframes"):
+        elif name in ("style", "xmp", "iframe", "noembed", "noframes", "noscript"):
             tk.state = RAWTEXT
-            tk.last_start_tag = name
         elif name == "script":
             tk.state = SCRIPT_DATA
-            tk.last_start_tag = name
-        elif name == "noscript" and self.scripting_enabled:
-            tk.state = RAWTEXT
-            tk.last_start_tag = name
         elif name == "plaintext":
             tk.state = PLAINTEXT
         root = Element("html", HTML_NS)
@@ -159,6 +165,10 @@ class TreeBuilder:
             tk.allow_cdata = self._allow_cdata()
             token = tk.next_token()
             self._cur_token = token
+            if self.ignore_next_lf and token[0] != CHARS:
+                # the skip-next-LF rule applies only to the immediately
+                # following character token
+                self.ignore_next_lf = False
             self._dispatch(token)
             if token[0] == EOF:
                 break
@@ -539,6 +549,18 @@ class TreeBuilder:
         self._foreign_content(token)
 
     def _process(self, token: tuple) -> None:
+        if token[0] == CHARS and self.mode in _SEGMENTED_MODES:
+            # these modes treat whitespace and non-whitespace character
+            # tokens differently, so a mixed run must be processed as
+            # alternating maximal same-class segments (the spec operates on
+            # single-character tokens; runs are our optimization)
+            segs = _SEG_RE.findall(token[1])
+            if len(segs) > 1:
+                offset = token[2]
+                for seg in segs:
+                    self._process((CHARS, seg, offset, offset + len(seg)))
+                    offset += len(seg)
+                return
         handler = _MODE_HANDLERS[self.mode]
         handler(self, token)
 
@@ -608,17 +630,22 @@ class TreeBuilder:
                 return
             if cur.name.lower() != name:
                 self._err("end-tag-without-matching-open-element")
-            for i in range(len(self.stack) - 1, 0, -1):
+            # spec loop: walk down; matching node → pop to it; an HTML-ns
+            # ancestor → reprocess per HTML rules; topmost → ignore
+            i = len(self.stack) - 1
+            while True:
                 node = self.stack[i]
+                if i == 0:
+                    return
                 if node.name.lower() == name:
                     while self.stack[-1] is not node:
                         self._pop()
                     self._pop()
                     return
-                if self.stack[i - 1].ns == HTML_NS:
-                    break
-            if self.stack and self.stack[-1].ns == HTML_NS:
-                self._process(token)
+                i -= 1
+                if self.stack[i].ns == HTML_NS:
+                    self._process(token)
+                    return
 
     # ---------------------------------------------------------- mode: initial
 
