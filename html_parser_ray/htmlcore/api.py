@@ -67,9 +67,21 @@ class ParseTree:
     n_nodes: int                    # total incl. root
     max_depth: int
     context_tag_name: str | None = None
-    ids: dict[int, int] = field(default_factory=dict)      # id(node) -> NodeId
-    by_id: dict[int, object] = field(default_factory=dict)  # NodeId -> node
     source_text: str = ""
+    _ids: dict[int, int] | None = None       # id(node) -> NodeId (lazy)
+    _by_id: dict[int, object] | None = None  # NodeId -> node (lazy)
+
+    @property
+    def ids(self) -> dict[int, int]:
+        if self._ids is None:
+            self._ids, self._by_id = _assign_id_maps(self.children)
+        return self._ids
+
+    @property
+    def by_id(self) -> dict[int, object]:
+        if self._by_id is None:
+            self._ids, self._by_id = _assign_id_maps(self.children)
+        return self._by_id
 
     def node_id(self, node) -> int:
         return self.ids[id(node)]
@@ -135,7 +147,7 @@ def _patch_select_adoption(root) -> None:
 # --------------------------------------------------------------------------
 # NodeId assignment (post-order, reference: convertTreeNode mod.ts:386-439)
 
-def _assign_ids(children: list) -> tuple[dict[int, int], dict[int, object], int, int]:
+def _assign_id_maps(children: list) -> tuple[dict[int, int], dict[int, object]]:
     ids: dict[int, int] = {}
     by_id: dict[int, object] = {}
     counter = [1]  # id 1 taken by root
@@ -150,7 +162,10 @@ def _assign_ids(children: list) -> tuple[dict[int, int], dict[int, object], int,
 
     for child in children:
         visit(child)
+    return ids, by_id
 
+
+def _compute_metrics(children: list) -> tuple[int, int]:
     # metrics (reference: collectMetrics mod.ts:441-473)
     def metrics(node, depth: int) -> tuple[int, int]:
         if not isinstance(node, Element):
@@ -169,7 +184,7 @@ def _assign_ids(children: list) -> tuple[dict[int, int], dict[int, object], int,
         total += cn
         if cd > max_depth:
             max_depth = cd
-    return ids, by_id, total + 1, max_depth
+    return total + 1, max_depth
 
 
 def _record_tree_budget_errors(children: list, budgets: Budgets | None,
@@ -239,11 +254,11 @@ def parse(html: str, *, scripting_enabled: bool = True,
     _patch_select_adoption(doc)
     errors = _collect_errors(builder, builder.tokenizer.errors)
     _record_tree_budget_errors(doc.children, budgets, errors)
-    ids, by_id, n_nodes, max_depth = _assign_ids(doc.children)
+    n_nodes, max_depth = _compute_metrics(doc.children)
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
     return ParseTree("document", 1, doc.children, errors, doc.quirks_mode,
-                     n_nodes, max_depth, None, ids, by_id, text)
+                     n_nodes, max_depth, None, text)
 
 
 def parse_bytes(data: bytes, *, transport_encoding_label: str | None = None,
@@ -317,8 +332,8 @@ def parse_fragment(html: str, context_tag_name: str, *,
     _patch_select_adoption(frag)
     errors = _collect_errors(builder, builder.tokenizer.errors)
     _record_tree_budget_errors(frag.children, budgets, errors)
-    ids, by_id, n_nodes, max_depth = _assign_ids(frag.children)
+    n_nodes, max_depth = _compute_metrics(frag.children)
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
     return ParseTree("fragment", 1, frag.children, errors, "no-quirks",
-                     n_nodes, max_depth, normalized_context, ids, by_id, text)
+                     n_nodes, max_depth, normalized_context, text)

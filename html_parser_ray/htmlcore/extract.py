@@ -47,6 +47,8 @@ DEFAULT_OPTIONS = VisibleTextOptions()
 
 
 def _normalize_newlines(value: str) -> str:
+    if "\r" not in value:
+        return value
     return _CR.sub("\n", _CRLF.sub("\n", value))
 
 
@@ -122,16 +124,16 @@ _DOC_SOURCE = (None, "text-node")
 def _collect(node, parts: list[str], options: VisibleTextOptions,
              preserve: bool, chunks: list | None,
              role_override: str | None) -> None:
-    if isinstance(node, Text):
+    if type(node) is Text:
         value = _normalize_segment(node.value, preserve)
         if value:
             parts.append(value)
             if chunks is not None:
                 chunks.append((value, node, role_override or "text-node"))
         return
-    if not isinstance(node, Element):
+    if type(node) is not Element:
         return
-    if _is_hidden(node, options):
+    if options.skip_hidden_subtrees and node.attrs and _is_hidden(node, options):
         return
     tag = node.name.lower()
     fallback_name = _accessible_name_fallback(node, options)
@@ -149,14 +151,19 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
                          "noscript-fallback")
             return
 
-    def emit(value: str, role: str, src=node) -> None:
-        if value:
+    if chunks is None:
+        def emit(value: str, role: str, src=node) -> None:
             parts.append(value)
-            if chunks is not None:
+    else:
+        def emit(value: str, role: str, src=node) -> None:
+            if value:
+                parts.append(value)
                 chunks.append((value, src, role_override or role))
 
     if tag == "br":
-        emit("\n", "structure-break")
+        parts.append("\n")
+        if chunks is not None:
+            chunks.append(("\n", node, role_override or "structure-break"))
         return
     if tag == "img" and options.include_control_values:
         alt = _attr(node, "alt")
@@ -201,15 +208,20 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
     child_preserve = preserve or tag == "pre" or tag == "textarea"
     block_break = tag == "p" or tag in BLOCK_BREAK_TAGS
     if block_break:
-        emit("\n", "structure-break")
+        parts.append("\n")
+        if chunks is not None:
+            chunks.append(("\n", node, role_override or "structure-break"))
     for child in node.children:
-        _collect(child, parts, options, preserve=child_preserve,
-                 chunks=chunks, role_override=role_override)
+        _collect(child, parts, options, child_preserve, chunks, role_override)
     if tag == "p":
-        emit("\n\n", "structure-break")
+        parts.append("\n\n")
+        if chunks is not None:
+            chunks.append(("\n\n", node, role_override or "structure-break"))
         return
     if block_break:
-        emit("\n", "structure-break")
+        parts.append("\n")
+        if chunks is not None:
+            chunks.append(("\n", node, role_override or "structure-break"))
 
 
 def visible_text(tree: ParseTree | Element,

@@ -45,6 +45,7 @@ _SCRIPT_ESC_RUN = re.compile(r"[^<\-\x00]+")
 _PLAINTEXT_RUN = re.compile(r"[^\x00]+")
 _CDATA_RUN = re.compile(r"[^\]\x00]+")
 _TAG_NAME_RUN = re.compile(r"[^\t\n\f />]+")
+_SIMPLE_TAG = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
 _ATTR_NAME_RUN = re.compile(r"[^\t\n\f /=>]+")
 _ATTR_VALUE_DQ_RUN = re.compile(r'[^"&\x00]+')
 _ATTR_VALUE_SQ_RUN = re.compile(r"[^'&\x00]+")
@@ -58,6 +59,13 @@ _ALNUM = re.compile(r"[a-zA-Z0-9]")
 _DOCTYPE_NAME_RUN = re.compile(r"[^\t\n\f >]+")
 
 _CR = re.compile(r"\r\n?")
+
+# start tags after which the tree builder may switch the tokenizer state
+# (rawtext/RCDATA/script/plaintext) or enter foreign content (CDATA gating)
+_SWITCH_TAGS = frozenset([
+    "title", "textarea", "style", "xmp", "iframe", "noembed", "noframes",
+    "script", "noscript", "plaintext", "svg", "math",
+])
 
 
 def normalize_newlines(html: str) -> tuple[str, list[int] | None]:
@@ -139,6 +147,23 @@ class Tokenizer:
         self._qidx += 1
         return token
 
+    def drain(self) -> list[tuple]:
+        """Return all currently queued tokens (producing at least one).
+
+        Safe for the tree builder because run-ahead stops at every token that
+        could require a tokenizer-state change before further tokenization.
+        """
+        if self._qidx >= len(self._queue):
+            if self._qidx:
+                del self._queue[:self._qidx]
+                self._qidx = 0
+            while not self._queue:
+                self._step()
+        out = self._queue[self._qidx:]
+        self._queue = []
+        self._qidx = 0
+        return out
+
     def tokens(self) -> list[tuple]:
         """Run to EOF and return every token (conformance/testing helper)."""
         out = []
@@ -176,6 +201,12 @@ class Tokenizer:
     def _run_data(self) -> None:
         s, n = self.html, self.n
         pos = self.pos
+        # run-ahead: keep tokenizing in DATA until the queue has a healthy
+        # batch, EXCEPT right after a start tag that lets the tree builder
+        # switch tokenizer state (rawtext/script/plaintext/foreign-content
+        # roots) or while CDATA is possible (foreign content) — then the
+        # builder must see each token before the next is produced.
+        target = self._qidx + (1 if self.allow_cdata else 32)
         while pos < n:
             m = _DATA_RUN.match(s, pos)
             if m:
@@ -188,7 +219,12 @@ class Tokenizer:
                 self.pos = pos
                 self._tag_open(pos)
                 pos = self.pos
-                if self._qidx < len(self._queue) or self.state != DATA:
+                if self.state != DATA:
+                    return
+                queue = self._queue
+                if len(queue) >= target:
+                    return
+                if queue and queue[-1][0] == START and queue[-1][1] in _SWITCH_TAGS:
                     return
             elif c == "&":
                 decoded, newpos = self._charref(pos + 1, in_attr=False)
@@ -487,6 +523,18 @@ class Tokenizer:
         """Scan tag name + attributes + close. self.pos at first name char."""
         s, n = self.html, self.n
         pos = self.pos
+        # fast path: plain `name>` with no attributes / solidus / NULs
+        m = _SIMPLE_TAG.match(s, pos)
+        if m:
+            name = m.group(1).lower()
+            end = m.end()
+            self.pos = end
+            if is_end:
+                self._emit((END, name, lt_pos, end))
+            else:
+                self.last_start_tag = name
+                self._emit((START, name, [], False, lt_pos, end))
+            return
         m = _TAG_NAME_RUN.match(s, pos)
         name = m.group() if m else ""
         pos = m.end() if m else pos

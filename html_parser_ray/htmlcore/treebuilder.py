@@ -161,16 +161,27 @@ class TreeBuilder:
 
     def _run(self) -> None:
         tk = self.tokenizer
+        is_fragment = self.fragment_context is not None
+        stack = self.stack
         while not self.stopped:
-            tk.allow_cdata = self._allow_cdata()
-            token = tk.next_token()
-            self._cur_token = token
-            if self.ignore_next_lf and token[0] != CHARS:
-                # the skip-next-LF rule applies only to the immediately
-                # following character token
-                self.ignore_next_lf = False
-            self._dispatch(token)
-            if token[0] == EOF:
+            # fast path: CDATA is only possible when the adjusted current
+            # node is foreign — skip the full check for plain HTML stacks
+            if (stack and stack[-1].ns != HTML_NS) or (is_fragment and len(stack) <= 1):
+                tk.allow_cdata = self._allow_cdata()
+            else:
+                tk.allow_cdata = False
+            done = False
+            for token in tk.drain():
+                self._cur_token = token
+                if self.ignore_next_lf and token[0] != CHARS:
+                    # the skip-next-LF rule applies only to the immediately
+                    # following character token
+                    self.ignore_next_lf = False
+                self._dispatch(token)
+                if token[0] == EOF:
+                    done = True
+                    break
+            if done:
                 break
 
     # ------------------------------------------------------------ small utils
@@ -532,6 +543,16 @@ class TreeBuilder:
 
     def _dispatch(self, token: tuple) -> None:
         kind = token[0]
+        stack = self.stack
+        # fast path: current node is plain HTML (and not the fragment root)
+        if stack and stack[-1].ns == HTML_NS and (
+                len(stack) > 1 or self.fragment_context is None):
+            mode = self.mode
+            if kind == CHARS and mode in _SEGMENTED_MODES:
+                self._process(token)
+            else:
+                _MODE_HANDLERS[mode](self, token)
+            return
         acn = self._adjusted_current()
         if (acn is None or acn.ns == HTML_NS or kind == EOF):
             self._process(token)
