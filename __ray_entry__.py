@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() (DuckDB).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries cover the engine surface per SURVEY.md §2: the HTML extraction
+pipeline (wrap documents.text in deterministic escaped HTML → ExtractStage →
+byte-exact text vs a SQL normalization oracle), extraction rollups,
+dedup family (exact / MinHash-LSH / SimHash / embedding-cosine), similarity
+search (brute-force + IVF top-k), and text analysis (tokens, fingerprints,
+language-ID, quality features). Column names match the SQL aliases exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +16,341 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _escape(text: str) -> str:
+    return (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _wrap_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → pages-shaped rows (url, warc_ts, html, lang)."""
+    import datetime
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    htmls = [
+        (f"<html><head><meta charset='utf-8'><title>d</title></head>"
+         f"<body><article><h1>Doc {i}</h1><p>{_escape(t)}</p></article>"
+         f"</body></html>").encode("utf-8")
+        for i, t in zip(ids, texts)
+    ]
+    ts = [datetime.datetime(2024, 1, 1)] * len(ids)
+    return pa.table({
+        "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    from html_parser_ray.stages.extract import ExtractStage
+    out = ExtractStage()(batch)
+    return out
+
+
+def _extracted_docs(sf_dir: str):
+    """documents → wrapped pages → ExtractStage → (doc_id, text_out, ...)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    wrapped = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+
+    def run(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id")
+        out = _extract_batch(batch)
+        return pa.table({
+            "doc_id": doc_ids,
+            "lang": out.column("lang"),
+            "text_out": out.column("text"),
+            "n_chars": out.column("n_chars"),
+            "n_nodes": out.column("n_nodes"),
+            "n_errors": out.column("n_errors"),
+            "status": out.column("status"),
+        })
+
+    return wrapped.map_batches(run, batch_format="pyarrow")
+
+
+# SQL expression equivalent to the visibleText output of the wrap above
+_NORM_SQL = "trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+_TEXT_OUT_SQL = (
+    "CASE WHEN " + _NORM_SQL + " = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
+    + _NORM_SQL + " END"
+)
+
+
+def _query_vector() -> list[float]:
+    from html_parser_ray.functions.ann import deterministic_query_vector
+    return deterministic_query_vector(64, seed=7)
+
+
+def _vec_literal() -> str:
+    return "[" + ", ".join(f"{x!r}" for x in _query_vector()) + "]"
+
+
+# --------------------------------------------------------------------------
+# queries
+
+def q_extract_visible_text(sf_dir: str):
+    ds = _extracted_docs(sf_dir)
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "text_out": b.column("text_out")}),
+        batch_format="pyarrow")
+
+
+def q_extract_rollup_by_lang(sf_dir: str):
+    from ray.data.aggregate import Sum, Count
+    ds = _extracted_docs(sf_dir)
+    return (ds.groupby("lang")
+            .aggregate(Count(alias_name="docs"),
+                       Sum("n_chars", alias_name="text_chars")))
+
+
+def q_exact_dedup(sf_dir: str):
+    from html_parser_ray.functions.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+        batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    from html_parser_ray.functions.textstats import token_count_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_ws_tokens": b.column("n_ws_tokens")}),
+        batch_format="pyarrow")
+
+
+def q_fingerprints(sf_dir: str):
+    from html_parser_ray.functions.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "fingerprint": b.column("fingerprint")}),
+        batch_format="pyarrow")
+
+
+def q_quality_features(sf_dir: str):
+    from html_parser_ray.functions.textstats import quality_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_chars": b.column("n_chars"),
+                            "n_ws_tokens": b.column("n_ws_tokens"),
+                            "n_lines": b.column("n_lines")}),
+        batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    from html_parser_ray.functions.textstats import quality_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    from html_parser_ray.functions.textstats import langid_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    from html_parser_ray.functions.dedup import simhash_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def q_minhash_neardup_pairs(sf_dir: str):
+    from html_parser_ray.functions.dedup import minhash_dedup_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds)
+
+
+def q_embedding_neardup_pairs(sf_dir: str):
+    """The raw tables carry no true near-dups (max pairwise cosine ≈ 0.48),
+    so augment with exact-copy rows at vec_id+1_000_000: the near-dup set is
+    then exactly {(i, i+1M)} and still exercises the full LSH-bucket →
+    within-bucket-verify path end to end."""
+    from html_parser_ray.functions.dedup import embedding_neardup_pairs
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def add_copy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        shifted = pa.table({
+            "vec_id": pc.add(batch.column("vec_id"), 1_000_000),
+            "embedding": batch.column("embedding"),
+        })
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]),
+                                 shifted])
+
+    aug = ds.map_batches(add_copy, batch_format="pyarrow")
+    return embedding_neardup_pairs(aug, threshold=0.95, sign_bits=2)
+
+
+def q_ann_topk(sf_dir: str):
+    from html_parser_ray.functions.ann import brute_force_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, _query_vector(), k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from html_parser_ray.functions.ann import ivf_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vector(), k=10, n_cells=16, n_probe=16)
+
+
+def q_top_users_by_value(sf_dir: str):
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("total"), 100.0)),
+                        pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "total_cents": cents})
+
+    return (agg.map_batches(to_cents, batch_format="pyarrow")
+            .sort(["total_cents", "user_id"], descending=[True, False])
+            .limit(10))
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style rollup over lineitem (generic columnar path check)."""
+    from ray.data.aggregate import Sum, Count
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+    agg = (ds.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty_raw"),
+                      Sum("l_extendedprice", alias_name="sum_price_raw"),
+                      Count(alias_name="count_order")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.cast(pc.round(batch.column("sum_qty_raw")), pa.int64()),
+            "sum_price_cents": pc.cast(
+                pc.round(pc.multiply(batch.column("sum_price_raw"), 100.0)),
+                pa.int64()),
+            "count_order": batch.column("count_order"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# driver contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents wrapped into CC-style pages (input_hint
+    shape: url, warc_ts, html:binary, lang) → ExtractStage actor pool →
+    extracted text + parse metrics Dataset. Driver checks rows >= 0."""
+    from html_parser_ray.stages.extract import extract_pages
+    ds = _read("/root/testdata/sf0.001", "documents",
+               columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(_wrap_batch, batch_format="pyarrow")
+    return extract_pages(pages, concurrency=2, batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_visible_text": q_extract_visible_text,
+        "extract_rollup_by_lang": q_extract_rollup_by_lang,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_features": q_quality_features,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "simhash": q_simhash,
+        "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "top_users_by_value": q_top_users_by_value,
+        "pricing_summary": q_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vec = _vec_literal()
+    return {
+        "extract_visible_text": (
+            f"SELECT doc_id, {_TEXT_OUT_SQL} AS text_out FROM documents"
+        ),
+        "extract_rollup_by_lang": (
+            f"SELECT lang, COUNT(*) AS docs, "
+            f"SUM(LENGTH({_TEXT_OUT_SQL})) AS text_chars "
+            f"FROM documents GROUP BY lang"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens "
+            "FROM documents"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(lower(trim(regexp_replace(text, "
+            "'[ \\t\\n\\f\\r]+', ' ', 'g')))) AS fingerprint FROM documents"
+        ),
+        "quality_features": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "LENGTH(text) - LENGTH(replace(text, chr(10), '')) + 1 AS n_lines "
+            "FROM documents"
+        ),
+        "ann_topk": (
+            f"SELECT vec_id, CAST(round(list_cosine_similarity(embedding, "
+            f"{vec}) * 10000) AS BIGINT) AS cosine_bp FROM embeddings "
+            f"ORDER BY cosine_bp DESC, vec_id LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            f"SELECT vec_id, CAST(round(list_cosine_similarity(embedding, "
+            f"{vec}) * 10000) AS BIGINT) AS cosine_bp FROM embeddings "
+            f"ORDER BY cosine_bp DESC, vec_id LIMIT 10"
+        ),
+        # the only pairs >= 0.95 in the augmented set are the exact copies
+        # (max real pairwise cosine in the synthetic tables is ~0.48)
+        "embedding_neardup_pairs": (
+            "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, "
+            "10000 AS cosine_bp FROM embeddings"
+        ),
+        "top_users_by_value": (
+            "SELECT user_id, CAST(round(SUM(value) * 100) AS BIGINT) AS "
+            "total_cents FROM events GROUP BY user_id "
+            "ORDER BY total_cents DESC, user_id LIMIT 10"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty, "
+            "CAST(round(SUM(l_extendedprice) * 100) AS BIGINT) AS "
+            "sum_price_cents, COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        # langid / simhash / minhash_neardup_pairs / quality_scores are
+        # non-SQL-expressible → rows-only checks
+    }

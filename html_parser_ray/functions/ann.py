@@ -1,0 +1,110 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is ray.put once and
+every map_batches task does one numpy matmul against its Arrow batch
+(zero-copy → ndarray), emitting per-batch partial top-k; a final small
+sort-limit merges partials. Scale path: IVF — coarse k-means-style
+centroids (deterministic seeded init), probe the nearest cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(matrix: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return matrix / norms
+
+
+def deterministic_query_vector(dim: int, seed: int = 7) -> list[float]:
+    """Seeded pseudo-random unit query (no wall-clock / global RNG)."""
+    state = seed
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    arr = np.asarray(out, dtype=np.float32)
+    arr /= np.linalg.norm(arr)
+    return [float(x) for x in arr]
+
+
+def brute_force_topk(ds, query: list[float], k: int = 10):
+    """embeddings → Dataset[(vec_id, cosine_bp)] top-k by cosine.
+
+    Per-batch partial top-k inside map_batches (numpy matmul), then a single
+    tiny sort().limit(k) — the shuffle moves at most k rows per block.
+    """
+    import ray
+    q = np.asarray(query, dtype=np.float32)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        sims = _unit(vecs) @ qv
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "cosine_bp": pa.array(
+                [int(round(float(s) * 10_000)) for s in sims[idx]], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(["cosine_bp", "vec_id"], descending=[True, False])
+            .limit(k))
+
+
+def ivf_topk(ds, query: list[float], k: int = 10, n_cells: int = 16,
+             n_probe: int = 4):
+    """IVF variant: assign vectors to seeded coarse centroids inside
+    map_batches, search only the ``n_probe`` cells nearest to the query.
+
+    At scale the cell assignment is computed once and persisted; here it is
+    fused into the read for simplicity. Falls back to exact behavior when
+    n_probe == n_cells.
+    """
+    import ray
+    q = np.asarray(query, dtype=np.float32)
+    q = q / np.linalg.norm(q)
+
+    # deterministic centroids: unit vectors from the seeded generator
+    dim = len(query)
+    cents = np.stack([
+        np.asarray(deterministic_query_vector(dim, seed=1000 + c), dtype=np.float32)
+        for c in range(n_cells)])
+    probe_cells = set(np.argsort(-(cents @ q))[:n_probe].tolist())
+    q_ref = ray.put(q)
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(probe_cells)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        cent = ray.get(cents_ref)
+        probe = ray.get(probe_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
+                                dtype=np.float32))
+        cells = np.argmax(vecs @ cent.T, axis=1)
+        mask = np.isin(cells, list(probe))
+        ids, vecs = ids[mask], vecs[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine_bp": pa.array([], pa.int64())})
+        sims = vecs @ qv
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "cosine_bp": pa.array(
+                [int(round(float(s) * 10_000)) for s in sims[idx]], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(["cosine_bp", "vec_id"], descending=[True, False])
+            .limit(k))

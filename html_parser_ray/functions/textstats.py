@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (char-n-gram heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalized-text hash + rolling shingle hash). All are
+stateless `map_batches` transforms over the ``documents`` table schema
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import pyarrow as pa
+
+_WS_SPLIT = re.compile(r"\s+")
+# GPT-2-style coarse pretokenizer (public regex family): words, numbers,
+# punctuation runs, whitespace handled implicitly
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_NORM_WS = re.compile(r"[ \t\n\f\r]+")
+
+# tiny public stopword seeds per language for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "den"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "para", "que"},
+}
+
+
+def ws_token_count(text: str) -> int:
+    stripped = text.strip()
+    if not stripped:
+        return 0
+    return len(_WS_SPLIT.split(stripped))
+
+
+def bpe_ish_token_count(text: str) -> int:
+    return len(_BPE_ISH.findall(text))
+
+
+def normalize_text(text: str) -> str:
+    return _NORM_WS.sub(" ", text).strip()
+
+
+def fingerprint_md5(text: str) -> str:
+    return hashlib.md5(normalize_text(text).lower().encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Deterministic 64-bit rolling (Rabin-Karp-style) document hash."""
+    norm = normalize_text(text).lower()
+    h = 0
+    acc = 0
+    base = 1_000_003
+    mask = (1 << 64) - 1
+    pw = pow(base, window - 1, 1 << 64)
+    for i, ch in enumerate(norm):
+        acc = (acc * base + ord(ch)) & mask
+        if i >= window - 1:
+            h ^= acc
+            acc = (acc - ord(norm[i - window + 1]) * pw) & mask
+    return h & ((1 << 63) - 1)
+
+
+def detect_lang(text: str) -> str:
+    """Cheap deterministic language-ID heuristic.
+
+    1. Script detection: CJK / Arabic / Cyrillic by codepoint ranges.
+    2. Latin languages: stopword hit-rate per language table.
+    """
+    cjk = arabic = cyr = latin = 0
+    for ch in text[:2000]:
+        cp = ord(ch)
+        if 0x4E00 <= cp <= 0x9FFF or 0x3040 <= cp <= 0x30FF:
+            cjk += 1
+        elif 0x0600 <= cp <= 0x06FF:
+            arabic += 1
+        elif 0x0400 <= cp <= 0x04FF:
+            cyr += 1
+        elif 0x41 <= cp <= 0x7A:
+            latin += 1
+    total = cjk + arabic + cyr + latin
+    if total == 0:
+        return "und"
+    if cjk / total > 0.25:
+        return "zh"
+    if arabic / total > 0.25:
+        return "ar"
+    if cyr / total > 0.25:
+        return "ru"
+    words = set(_WS_SPLIT.split(text[:2000].lower()))
+    best_lang, best_hits = "en", -1
+    for lang, stops in _STOPWORDS.items():
+        hits = len(words & stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+_PUNCT = set(".,;:!?()[]{}\"'`")
+
+
+def quality_features(text: str) -> tuple[int, int, int, int, float, float, float]:
+    """(n_chars, n_ws_tokens, n_bpe_tokens, n_lines, punct_ratio,
+    alpha_ratio, stopword_ratio)"""
+    n_chars = len(text)
+    tokens = _WS_SPLIT.split(text.strip()) if text.strip() else []
+    n_tokens = len(tokens)
+    n_lines = text.count("\n") + 1
+    if n_chars:
+        punct = sum(1 for c in text if c in _PUNCT) / n_chars
+        alpha = sum(1 for c in text if c.isalpha()) / n_chars
+    else:
+        punct = alpha = 0.0
+    stops = _STOPWORDS["en"]
+    stop_ratio = (sum(1 for t in tokens if t.lower() in stops) / n_tokens
+                  if n_tokens else 0.0)
+    return (n_chars, n_tokens, bpe_ish_token_count(text), n_lines,
+            punct, alpha, stop_ratio)
+
+
+# ---------------------------------------------------------------------------
+# batch transforms (map_batches, batch_format="pyarrow")
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_ws_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
+        "n_bpe_tokens": pa.array([bpe_ish_token_count(t) for t in texts], pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array([fingerprint_md5(t) for t in texts], pa.string()),
+        "rolling_fp": pa.array([rolling_fingerprint(t) for t in texts], pa.int64()),
+    })
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array([detect_lang(t) for t in texts], pa.string()),
+        "lang_true": batch.column("lang"),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    feats = [quality_features(t) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array([f[0] for f in feats], pa.int64()),
+        "n_ws_tokens": pa.array([f[1] for f in feats], pa.int64()),
+        "n_bpe_tokens": pa.array([f[2] for f in feats], pa.int64()),
+        "n_lines": pa.array([f[3] for f in feats], pa.int64()),
+        # scaled to int to keep the DuckDB oracle hash-stable
+        "punct_ratio_bp": pa.array([int(round(f[4] * 10_000)) for f in feats], pa.int64()),
+        "alpha_ratio_bp": pa.array([int(round(f[5] * 10_000)) for f in feats], pa.int64()),
+        "stopword_ratio_bp": pa.array([int(round(f[6] * 10_000)) for f in feats], pa.int64()),
+    })

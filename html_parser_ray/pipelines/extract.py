@@ -1,0 +1,118 @@
+"""End-to-end extraction pipelines (Ray-Data-native, streaming).
+
+read_parquet → ExtractStage (actor pool) → write_parquet / rollups.
+Wide steps: rollups pre-aggregate inside map_batches before the small
+groupby; partitioning key is hash(url) (north rule) for resumable output.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.extract import ExtractStage, extract_pages, DEFAULT_BUDGETS
+
+
+def read_pages(sf_dir_or_path: str, columns: list[str] | None = None):
+    """Column-pruned parquet read of the pages table."""
+    import ray
+    return ray.data.read_parquet(sf_dir_or_path, columns=columns)
+
+
+def extract_pipeline(pages_ds, *, concurrency=None, batch_size: int = 64):
+    """pages → extracted text Dataset (streaming, never materializes)."""
+    return extract_pages(pages_ds, concurrency=concurrency,
+                         batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# rollups: extraction stats by (lang, ts_bucket) — partial-aggregate inside
+# map_batches so the all-to-all groupby only moves tiny per-batch partials
+# (SURVEY.md §2.5)
+
+def _partial_rollup(batch: pa.Table) -> pa.Table:
+    ts = batch.column("warc_ts")
+    bucket = pc.strftime(ts, format="%Y-%m")
+    tbl = batch.append_column("ts_bucket", bucket)
+    langs = tbl.column("lang").to_pylist()
+    buckets = tbl.column("ts_bucket").to_pylist()
+    n_errors = tbl.column("n_errors").to_pylist()
+    quirks = tbl.column("quirks_mode").to_pylist()
+    text_len = tbl.column("n_chars").to_pylist()
+    status = tbl.column("status").to_pylist()
+
+    agg: dict[tuple[str, str], list] = {}
+    for i in range(len(langs)):
+        key = (langs[i], buckets[i])
+        slot = agg.get(key)
+        if slot is None:
+            slot = agg[key] = [0, 0, 0, 0, 0]  # docs, errors, quirks, chars, failed
+        slot[0] += 1
+        slot[1] += n_errors[i]
+        slot[2] += 1 if quirks[i] == "quirks" else 0
+        slot[3] += text_len[i]
+        slot[4] += 1 if status[i] != "ok" else 0
+
+    keys = sorted(agg)
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "ts_bucket": pa.array([k[1] for k in keys], pa.string()),
+        "docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "parse_errors": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "quirks_docs": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "text_chars": pa.array([agg[k][3] for k in keys], pa.int64()),
+        "failed_docs": pa.array([agg[k][4] for k in keys], pa.int64()),
+    })
+
+
+def rollup_stats(extracted_ds):
+    """Dataset[extracted] → Dataset[(lang, ts_bucket, docs, parse_errors,
+    quirks_docs, text_chars, failed_docs, mean_text_chars)]."""
+    from ray.data.aggregate import Sum
+
+    partial = extracted_ds.map_batches(_partial_rollup, batch_format="pyarrow")
+    rolled = partial.groupby(["lang", "ts_bucket"]).aggregate(
+        Sum("docs", alias_name="docs"),
+        Sum("parse_errors", alias_name="parse_errors"),
+        Sum("quirks_docs", alias_name="quirks_docs"),
+        Sum("text_chars", alias_name="text_chars"),
+        Sum("failed_docs", alias_name="failed_docs"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        docs = batch.column("docs")
+        chars = batch.column("text_chars")
+        mean = pc.divide(pc.cast(chars, pa.float64()), pc.cast(docs, pa.float64()))
+        return batch.append_column("mean_text_chars", mean)
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# url-hash partitioning (north rule): deterministic lineage key
+
+def add_url_bucket(ds, n_buckets: int = 64):
+    """Append part = hash(url) % n_buckets (deterministic, shuffle-free)."""
+    import zlib
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        part = [zlib.crc32(u.encode()) % n_buckets for u in urls]
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def write_extracted(extracted_ds, out_dir: str, n_buckets: int = 64):
+    """Partitioned, resumable-friendly output: out_dir/part=K/*.parquet."""
+    ds = add_url_bucket(extracted_ds, n_buckets)
+    ds.write_parquet(out_dir, partition_cols=["part"])
+
+
+def run_extract(input_path: str, out_dir: str, *, concurrency=None,
+                batch_size: int = 64, n_buckets: int = 64) -> None:
+    """Flagship job: read → extract → partitioned write. Streaming end-to-end."""
+    pages = read_pages(input_path, columns=["url", "warc_ts", "html", "lang"])
+    extracted = extract_pipeline(pages, concurrency=concurrency,
+                                 batch_size=batch_size)
+    write_extracted(extracted, out_dir, n_buckets)

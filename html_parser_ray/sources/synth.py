@@ -126,11 +126,19 @@ _QUIRKS_DOCTYPES = (
 )
 
 
-def make_page(i: int, seed: int = 42) -> dict:
+def make_page(i: int, seed: int = 42, size_scale: int = 1) -> dict:
+    """``size_scale`` repeats the recipe body to reach CC-realistic page
+    sizes (~size_scale × 0.8 KB mean); 1 keeps tests fast, bench uses ~32."""
     rng = random.Random((seed << 32) ^ i)
     lang = LANGS[i % len(LANGS)]
     recipe = rng.choices(_RECIPE_FNS, weights=_RECIPE_WEIGHTS, k=1)[0]
-    body = recipe(rng, lang)
+    if size_scale <= 1:
+        body = recipe(rng, lang)
+    else:
+        reps = rng.randint(max(1, size_scale // 2), size_scale * 2)
+        if recipe in (_recipe_deep, _recipe_giant):
+            reps = min(reps, max(1, size_scale // 4))  # bound outliers
+        body = "".join(recipe(rng, lang) for _ in range(reps))
     doctype = rng.choice(_QUIRKS_DOCTYPES)
     title = _sentence(rng, lang, 3)
 
@@ -172,31 +180,37 @@ SCHEMA = pa.schema([
 ])
 
 
-def make_table(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
-    rows = [make_page(i, seed) for i in range(start, start + n_rows)]
+def make_table(n_rows: int, seed: int = 42, start: int = 0,
+               size_scale: int = 1) -> pa.Table:
+    rows = [make_page(i, seed, size_scale)
+            for i in range(start, start + n_rows)]
     return pa.Table.from_pylist(rows, schema=SCHEMA)
 
 
 def write_pages_parquet(path: str, n_rows: int, seed: int = 42,
-                        rows_per_file: int = 10_000) -> None:
+                        rows_per_file: int = 10_000, start: int = 0,
+                        size_scale: int = 1) -> None:
     import pyarrow.parquet as pq
     import os
     os.makedirs(path, exist_ok=True)
-    start = 0
+    end = start + n_rows
     part = 0
-    while start < n_rows:
-        n = min(rows_per_file, n_rows - start)
-        pq.write_table(make_table(n, seed, start), f"{path}/part-{part:05d}.parquet")
+    while start < end:
+        n = min(rows_per_file, end - start)
+        pq.write_table(make_table(n, seed, start, size_scale),
+                       f"{path}/part-{part:05d}.parquet")
         start += n
         part += 1
 
 
-def pages_dataset(n_rows: int, seed: int = 42, parallelism: int = 32):
+def pages_dataset(n_rows: int, seed: int = 42, parallelism: int = 32,
+                  size_scale: int = 1):
     """Distributed generation: ray.data.range → map_batches(make_page)."""
     import ray
 
     def build(batch):
-        rows = [make_page(int(i), seed) for i in batch["id"]]
+        rows = [make_page(i, seed, size_scale)
+                for i in batch["id"].to_pylist()]
         return pa.Table.from_pylist(rows, schema=SCHEMA)
 
     return (ray.data.range(n_rows, override_num_blocks=parallelism)

@@ -140,16 +140,29 @@ class ExtractStage:
         return pa.table(cols)
 
 
-def extract_pages(ds, *, concurrency=None, batch_size: int = 64,
+def extract_pages(ds, *, concurrency=None, batch_size: int = 16,
                   num_cpus: float = 1, emit_tokens: bool = False,
                   budgets: Budgets = DEFAULT_BUDGETS,
                   options: VisibleTextOptions = VisibleTextOptions()):
     """Wire the stage: Dataset[pages] → Dataset[extracted].
 
-    ``batch_size`` is row-count; pages average tens of KB so 64 rows ≈ a few
-    MB of HTML per batch — small enough for pipelining, large enough to
-    amortize actor dispatch. Giant docs are bounded by per-row budgets.
+    ``batch_size`` is row-count and doubles as the actor-dispatch bundle
+    size: pages average tens of KB so 16 rows ≈ ~1 MB of HTML per task —
+    fine-grained enough that a 2 MB giant document doesn't straggle a
+    whole multi-megabyte bundle at high parallelism (measured: bs=16 beats
+    bs=64 by 1.4x at 32 cpus on a skewed corpus). Giant docs are bounded
+    by per-row budgets.
+
+    ``concurrency=None`` sizes a FIXED actor pool to ~75% of cluster CPUs:
+    a pool that reserves every CPU starves the upstream read tasks (deadlock
+    observed at pool=32 on a 32-CPU node), and autoscaling pools ramp too
+    slowly for short jobs (measured 2.5x slower than a fixed pool on a
+    150 MB corpus). The remaining ~25% runs reads + downstream stages.
     """
+    if concurrency is None:
+        import ray
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(2, int(n * 0.75 / max(num_cpus, 1e-9)))
     return ds.map_batches(
         ExtractStage,
         fn_constructor_kwargs={"budgets": budgets, "options": options,

@@ -1,0 +1,13 @@
+"""Session-scoped Ray fixture (driver contract: init Ray ONCE per session)."""
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True)
+    yield
+    ray.shutdown()

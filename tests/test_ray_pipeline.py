@@ -1,0 +1,204 @@
+"""Ray Data integration tests: ExtractStage actor stage, rollups, url-hash
+partitioned + resumable writes, dedup/ann Dataset operators, and byte-parity
+of the distributed path with the single-doc kernel."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from html_parser_ray.htmlcore.api import parse_bytes
+from html_parser_ray.htmlcore.extract import visible_text
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def pages_table():
+    from html_parser_ray.sources.synth import make_table
+    return make_table(120, seed=7)
+
+
+def test_synth_pages_schema(pages_table):
+    assert {"url", "warc_ts", "html", "lang"} <= set(pages_table.column_names)
+    assert pages_table.schema.field("html").type == pa.binary()
+    assert pa.types.is_timestamp(pages_table.schema.field("warc_ts").type)
+
+
+def test_extract_stage_matches_kernel(pages_table):
+    """Distributed stage output == single-doc kernel output, per url."""
+    from html_parser_ray.stages.extract import ExtractStage
+    out = ExtractStage()(pages_table)
+    assert out.num_rows == pages_table.num_rows
+    htmls = pages_table.column("html").to_pylist()
+    texts = out.column("text").to_pylist()
+    statuses = out.column("status").to_pylist()
+    for html, text, status in zip(htmls, texts, statuses):
+        if status == "ok":
+            assert text == visible_text(parse_bytes(html))
+    assert statuses.count("ok") >= pages_table.num_rows - 2
+
+
+def test_extract_stage_quarantines_bad_rows():
+    from html_parser_ray.stages.extract import ExtractStage, DEFAULT_BUDGETS
+    from html_parser_ray.htmlcore.api import Budgets
+    import datetime
+    big = b"<p>" + b"x" * 1000
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * 2,
+                            pa.timestamp("us")),
+        "html": pa.array([b"<p>fine</p>", big], pa.binary()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    stage = ExtractStage(budgets=Budgets(max_input_bytes=100))
+    out = stage(batch)
+    assert out.column("status").to_pylist() == ["ok", "budget_exceeded"]
+    assert out.column("text").to_pylist()[0] == "fine"
+
+
+def test_extract_pages_dataset(ray_session):
+    from html_parser_ray.sources.synth import pages_dataset
+    from html_parser_ray.stages.extract import extract_pages
+    ds = extract_pages(pages_dataset(80, seed=3, parallelism=4),
+                       concurrency=2, batch_size=32)
+    tbl = pa.Table.from_pylist(ds.take_all())
+    assert tbl.num_rows == 80
+    assert set(tbl.column("status").to_pylist()) <= {"ok", "budget_exceeded", "error"}
+    ok = [s for s in tbl.column("status").to_pylist() if s == "ok"]
+    assert len(ok) >= 78
+
+
+def test_rollup_stats(ray_session):
+    from html_parser_ray.sources.synth import pages_dataset
+    from html_parser_ray.stages.extract import extract_pages
+    from html_parser_ray.pipelines.extract import rollup_stats
+    extracted = extract_pages(pages_dataset(60, seed=5, parallelism=4),
+                              concurrency=2, batch_size=32)
+    rolled = pa.Table.from_pylist(rollup_stats(extracted).take_all())
+    assert {"lang", "ts_bucket", "docs", "parse_errors", "quirks_docs",
+            "text_chars", "failed_docs", "mean_text_chars"} <= \
+        set(rolled.column_names)
+    assert sum(rolled.column("docs").to_pylist()) == 60
+
+
+def test_partitioned_write_and_lineage(ray_session, tmp_path):
+    from html_parser_ray.sources.synth import pages_dataset
+    from html_parser_ray.stages.extract import extract_pages
+    from html_parser_ray.pipelines.extract import write_extracted
+    out_dir = str(tmp_path / "out")
+    extracted = extract_pages(pages_dataset(50, seed=9, parallelism=4),
+                              concurrency=2, batch_size=32)
+    write_extracted(extracted, out_dir, n_buckets=8)
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("part="))
+    assert len(parts) >= 2
+    total = 0
+    for part in parts:
+        for f in os.listdir(os.path.join(out_dir, part)):
+            if f.endswith(".parquet"):
+                total += pq.read_table(os.path.join(out_dir, part, f)).num_rows
+    assert total == 50
+
+
+def test_resumable_extract_skips_done_shards(ray_session, tmp_path):
+    from html_parser_ray.sources.synth import write_pages_parquet
+    from html_parser_ray.pipelines.resumable import run_resumable_extract
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_pages_parquet(os.path.join(in_dir, "a.parquet"), 30, seed=1)
+    write_pages_parquet(os.path.join(in_dir, "b.parquet"), 30, seed=2,
+                        start=30)
+    out_dir = str(tmp_path / "out")
+    counters = run_resumable_extract(in_dir, out_dir, files_per_shard=1,
+                                     concurrency=2, batch_size=32)
+    assert counters["docs"] == 60
+    # second run must skip everything (manifest present) and keep counters
+    counters2 = run_resumable_extract(in_dir, out_dir, files_per_shard=1,
+                                      concurrency=2, batch_size=32)
+    assert counters2["docs"] == 60
+    manifest_files = os.listdir(os.path.join(out_dir, "_manifest"))
+    assert len([f for f in manifest_files if f.endswith(".json")]) == 2
+
+
+def test_exact_dedup_dataset(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import exact_dedup
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["same text", "same text", "other", "third",
+                          "other"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    kept = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_neardup_pairs_dataset(ray_session):
+    import ray
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, base + " tiny tail", "unrelated words " * 20],
+                         pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    from html_parser_ray.functions.dedup import minhash_dedup_pairs
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in minhash_dedup_pairs(ds).take_all()]
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_neardup_pairs_dataset(ray_session):
+    import ray
+    import numpy as np
+    rng = np.random.RandomState(0)
+    v = rng.randn(16).astype("float32")
+    near = v + rng.randn(16).astype("float32") * 0.01
+    far = rng.randn(16).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([v.tolist(), near.tolist(), far.tolist()],
+                              pa.list_(pa.float32())),
+    })
+    from html_parser_ray.functions.dedup import embedding_neardup_pairs
+    out = embedding_neardup_pairs(ray.data.from_arrow(tbl),
+                                  threshold=0.95, sign_bits=2).take_all()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in out]
+    assert pairs == [(1, 2)]
+
+
+def test_ann_brute_force_vs_numpy(ray_session):
+    import ray
+    import numpy as np
+    from html_parser_ray.functions.ann import (
+        brute_force_topk, deterministic_query_vector, ivf_topk)
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(200, 64).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    q = np.asarray(deterministic_query_vector(64, seed=7), dtype="float32")
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ q
+    expected = set(np.argsort(-sims)[:10].tolist())
+    ds = ray.data.from_arrow(tbl)
+    got = [r["vec_id"] for r in brute_force_topk(ds, q.tolist(), k=10).take_all()]
+    assert set(got) == expected
+    # full-probe IVF must equal brute force
+    got_ivf = [r["vec_id"]
+               for r in ivf_topk(ds, q.tolist(), k=10, n_cells=8,
+                                 n_probe=8).take_all()]
+    assert set(got_ivf) == expected
+
+
+def test_testdata_extract_query_runs(ray_session):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("testdata not present")
+    import __ray_entry__ as entrymod
+    ds = entrymod.queries()["extract_visible_text"](SF_DIR)
+    rows = ds.take(5)
+    assert rows and all("text_out" in r for r in rows)
