@@ -46,6 +46,16 @@ _PLAINTEXT_RUN = re.compile(r"[^\x00]+")
 _CDATA_RUN = re.compile(r"[^\]\x00]+")
 _TAG_NAME_RUN = re.compile(r"[^\t\n\f />]+")
 _SIMPLE_TAG = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+# whole-tag fast path: name + well-formed attrs with no charrefs / NULs /
+# error-producing shapes; anything else falls back to the spec scanner
+_FAST_TAG = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:[\t\n\f ]+[a-zA-Z][-_a-zA-Z0-9:.]*"
+    r"(?:=(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^\t\n\f >\"'<=`&\x00]+))?)*)"
+    r"[\t\n\f ]*(/?)>")
+_FAST_ATTR = re.compile(
+    r"[\t\n\f ]+([a-zA-Z][-_a-zA-Z0-9:.]*)"
+    r"(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\t\n\f >]+)))?")
 _ATTR_NAME_RUN = re.compile(r"[^\t\n\f /=>]+")
 _ATTR_VALUE_DQ_RUN = re.compile(r'[^"&\x00]+')
 _ATTR_VALUE_SQ_RUN = re.compile(r"[^'&\x00]+")
@@ -535,6 +545,33 @@ class Tokenizer:
                 self.last_start_tag = name
                 self._emit((START, name, [], False, lt_pos, end))
             return
+        if not is_end:
+            m = _FAST_TAG.match(s, pos)
+            if m:
+                name = m.group(1).lower()
+                end = m.end()
+                attrs = []
+                seen: set[str] = set()
+                for am in _FAST_ATTR.finditer(m.group(2)):
+                    aname = am.group(1).lower()
+                    if aname in seen:
+                        self._err("duplicate-attribute", pos + am.start(1))
+                        continue
+                    seen.add(aname)
+                    value = am.group(2)
+                    if value is None:
+                        value = am.group(3)
+                    if value is None:
+                        value = am.group(4)
+                    if value is None:
+                        value = ""
+                    attrs.append((aname, value, pos + am.start(1),
+                                  pos + am.end()))
+                self.pos = end
+                self.last_start_tag = name
+                self._emit((START, name, attrs, m.group(3) == "/",
+                            lt_pos, end))
+                return
         m = _TAG_NAME_RUN.match(s, pos)
         name = m.group() if m else ""
         pos = m.end() if m else pos
