@@ -216,6 +216,203 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, _query_vector(), k=10, n_cells=16, n_probe=16)
 
 
+def q_simhash_neardup_pairs(sf_dir: str):
+    """Augmented with exact copies at doc_id+1_000_000 (same trick as the
+    embedding query): the Hamming<=3 pairs are exactly the copies — the
+    odds of two independent ~300-char docs landing within Hamming 3 of each
+    other's 64-bit simhash are ~1e-10 per pair."""
+    from html_parser_ray.functions.dedup import simhash_neardup_pairs
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_copy(batch: pa.Table) -> pa.Table:
+        shifted = pa.table({
+            "doc_id": pc.add(batch.column("doc_id"), 1_000_000),
+            "text": batch.column("text"),
+        })
+        return pa.concat_tables([batch.select(["doc_id", "text"]), shifted])
+
+    aug = ds.map_batches(add_copy, batch_format="pyarrow")
+    return simhash_neardup_pairs(aug, hamming_k=3)
+
+
+def _wrapped_pages(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(_wrap_batch, batch_format="pyarrow")
+
+
+def q_outline(sf_dir: str):
+    """Parse each wrapped page and emit its heading/section skeleton
+    (SURVEY.md M16). Oracle reproduces the deterministic wrap shape."""
+    from html_parser_ray.stages.derive import OutlineStage
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = {u: i for u, i in zip(batch.column("url").to_pylist(),
+                                    batch.column("doc_id").to_pylist())}
+        out = OutlineStage()(batch)
+        return pa.table({
+            "doc_id": pa.array([ids[u] for u in out.column("url").to_pylist()],
+                               pa.int64()),
+            "tag_name": out.column("tag_name"),
+            "depth": out.column("depth"),
+            "text": out.column("text"),
+        })
+
+    return _wrapped_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_serialize_roundtrip(sf_dir: str):
+    """bytes → parse → serialize (S5/S6) + raw textContent (M15)."""
+    from html_parser_ray.stages.derive import SerializeStage
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = {u: i for u, i in zip(batch.column("url").to_pylist(),
+                                    batch.column("doc_id").to_pylist())}
+        out = SerializeStage()(batch)
+        return pa.table({
+            "doc_id": pa.array([ids[u] for u in out.column("url").to_pylist()],
+                               pa.int64()),
+            "normalized_html": out.column("normalized_html"),
+            "text_content": out.column("text_content"),
+        })
+
+    return _wrapped_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_visible_tokens(sf_dir: str):
+    """Exploded visible-text token stream with provenance (M13/M14) — the
+    per-character-span output of the north star. kind/value sequence is
+    SQL-checkable for the deterministic wrap; provenance ids are not."""
+    from html_parser_ray.stages.derive import TokensStage
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = {u: i for u, i in zip(batch.column("url").to_pylist(),
+                                    batch.column("doc_id").to_pylist())}
+        out = TokensStage()(batch)
+        return pa.table({
+            "doc_id": pa.array([ids[u] for u in out.column("url").to_pylist()],
+                               pa.int64()),
+            "seq": out.column("seq"),
+            "kind": out.column("kind"),
+            "value": out.column("value"),
+        })
+
+    return _wrapped_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_chunks(sf_dir: str):
+    """Size-bounded chunk splits (M17) — rows-only check (content equals
+    the serialized page, already value-checked by serialize_roundtrip)."""
+    from html_parser_ray.stages.derive import ChunkStage
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = {u: i for u, i in zip(batch.column("url").to_pylist(),
+                                    batch.column("doc_id").to_pylist())}
+        out = ChunkStage()(batch)
+        return pa.table({
+            "doc_id": pa.array([ids[u] for u in out.column("url").to_pylist()],
+                               pa.int64()),
+            "chunk_index": out.column("chunk_index"),
+            "nodes": out.column("nodes"),
+            "n_content_chars": pa.array(
+                [len(c) for c in out.column("content").to_pylist()],
+                pa.int64()),
+        })
+
+    return _wrapped_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_patch_edit(sf_dir: str):
+    """Span-based patch planning (M18/M19): replaceText of the <h1> text
+    node per page; the node id is fixed by the deterministic wrap shape, so
+    the patched html is SQL-reproducible."""
+    from html_parser_ray.stages.derive import PatchStage
+    from html_parser_ray.htmlcore.api import parse
+    from html_parser_ray.htmlcore.dom import Text
+    from html_parser_ray.htmlcore.extract import walk
+    import json as _json
+
+    # same tree shape for every wrapped doc → same id for the h1 text node
+    sample = parse("<html><head><meta charset='utf-8'><title>d</title></head>"
+                   "<body><article><h1>Doc 0</h1><p>x</p></article>"
+                   "</body></html>", capture_spans=True)
+    h1_text_id = next(sample.ids[id(n)] for n, _d in walk(sample)
+                      if isinstance(n, Text) and n.value == "Doc 0")
+    edits = _json.dumps([{"kind": "replaceText", "target": h1_text_id,
+                          "value": "EDITED"}])
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = {u: i for u, i in zip(batch.column("url").to_pylist(),
+                                    batch.column("doc_id").to_pylist())}
+        with_edits = batch.append_column(
+            "edits", pa.array([edits] * batch.num_rows, pa.string()))
+        out = PatchStage()(with_edits)
+        return pa.table({
+            "doc_id": pa.array([ids[u] for u in out.column("url").to_pylist()],
+                               pa.int64()),
+            "result": out.column("result"),
+            "status": out.column("status"),
+        })
+
+    return _wrapped_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _media_from_documents(sf_dir: str, kind: str):
+    """Deterministic media table keyed by doc_id (media payloads are
+    synthesized — no external data; see stages/multimodal.py)."""
+    from html_parser_ray.stages.multimodal import (
+        make_image_payload, make_audio_payload, make_video_payload)
+    makers = {"image": make_image_payload, "audio": make_audio_payload,
+              "video": make_video_payload}
+    maker = makers[kind]
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * len(ids), pa.string()),
+            "payload": pa.array([maker(i) for i in ids], pa.binary()),
+            "source_url": pa.array([f"media://{i}" for i in ids], pa.string()),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_image_features(sf_dir: str):
+    """Image decode + feature-extract actor stage; dims are derivable from
+    media_id so the decode path is value-checked end to end."""
+    from html_parser_ray.stages.multimodal import ImageFeatureStage
+    media = _media_from_documents(sf_dir, "image")
+    out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["media_id", "width", "height", "channels"]),
+        batch_format="pyarrow")
+
+
+def q_audio_features(sf_dir: str):
+    from html_parser_ray.stages.multimodal import AudioFeatureStage
+    media = _media_from_documents(sf_dir, "audio")
+    out = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["media_id", "sample_rate", "n_samples",
+                            "duration_ms"]),
+        batch_format="pyarrow")
+
+
+def q_video_frame_sample(sf_dir: str):
+    from html_parser_ray.stages.multimodal import VideoFrameSampleStage
+    media = _media_from_documents(sf_dir, "video")
+    out = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2,
+                            fn_constructor_kwargs={"stride": 4})
+    return out.map_batches(
+        lambda b: b.select(["media_id", "frame_index"]),
+        batch_format="pyarrow")
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -285,7 +482,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "simhash": q_simhash,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "outline": q_outline,
+        "serialize_roundtrip": q_serialize_roundtrip,
+        "visible_tokens": q_visible_tokens,
+        "chunks": q_chunks,
+        "patch_edit": q_patch_edit,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "top_users_by_value": q_top_users_by_value,
@@ -338,6 +544,63 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": (
             "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, "
             "10000 AS cosine_bp FROM embeddings"
+        ),
+        # simhash_neardup_pairs: no SQL oracle — the synthetic corpus
+        # contains genuine simhash collisions (identical 64-bit signatures
+        # for distinct same-vocabulary docs), which SQL cannot reproduce.
+        # The operator is value-tested in tests/test_ray_pipeline.py.
+        "outline": (
+            "SELECT doc_id, 'article' AS tag_name, 2 AS depth, "
+            "substr('Doc ' || CAST(doc_id AS VARCHAR) || text, 1, 200) AS text "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, 'h1' AS tag_name, 3 AS depth, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) AS text FROM documents"
+        ),
+        "serialize_roundtrip": (
+            "SELECT doc_id, "
+            "'<html><head><meta charset=\"utf-8\"><title>d</title></head>"
+            "<body><article><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+            "'</h1><p>' || "
+            "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+            "'>', '&gt;') || "
+            "'</p></article></body></html>' AS normalized_html, "
+            "'dDoc ' || CAST(doc_id AS VARCHAR) || text AS text_content "
+            "FROM documents"
+        ),
+        "visible_tokens": (
+            "SELECT doc_id, 0 AS seq, 'text' AS kind, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) AS value FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, 1, 'paragraphBreak', chr(10) || chr(10) "
+            f"FROM documents WHERE {_NORM_SQL} <> '' "
+            "UNION ALL "
+            f"SELECT doc_id, 2, 'text', {_NORM_SQL} "
+            f"FROM documents WHERE {_NORM_SQL} <> ''"
+        ),
+        "patch_edit": (
+            "SELECT doc_id, "
+            "'<html><head><meta charset=''utf-8''><title>d</title></head>"
+            "<body><article><h1>EDITED</h1><p>' || "
+            "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+            "'>', '&gt;') || "
+            "'</p></article></body></html>' AS result, "
+            "'ok' AS status FROM documents"
+        ),
+        "image_features": (
+            "SELECT doc_id AS media_id, 16 + (doc_id * 7) % 48 AS width, "
+            "16 + (doc_id * 13) % 48 AS height, 3 AS channels FROM documents"
+        ),
+        "audio_features": (
+            "SELECT doc_id AS media_id, 16000 AS sample_rate, "
+            "1024 + (doc_id * 31) % 2048 AS n_samples, "
+            "(1024 + (doc_id * 31) % 2048) * 1000 // 16000 "
+            "AS duration_ms FROM documents"
+        ),
+        "video_frame_sample": (
+            "SELECT d.doc_id AS media_id, f.i AS frame_index FROM documents d "
+            "JOIN (SELECT unnest(generate_series(0, 31)) AS i) f "
+            "ON f.i % 4 = 0 AND f.i < 8 + (d.doc_id * 3) % 24"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(round(SUM(value) * 100) AS BIGINT) AS "

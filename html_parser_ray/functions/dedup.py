@@ -212,6 +212,58 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4):
+    """documents → Dataset[(doc_a, doc_b, hamming)] pairs within Hamming
+    distance ``hamming_k`` of each other's 64-bit simhash.
+
+    Scale shape: by pigeonhole, two signatures within Hamming k of each
+    other agree exactly on at least one of ``bands`` (> k) disjoint bit
+    bands — so explode (band_id, band_bits) keys, groupby, and verify the
+    full Hamming distance only within buckets. Only (key, doc_id, sig)
+    triples shuffle, never text.
+    """
+    band_width = 64 // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_key: list[str] = []
+        out_id: list[int] = []
+        out_sig: list[int] = []
+        for doc_id, text in zip(ids, texts):
+            sig = simhash64(text)
+            for b in range(bands):
+                bits = (sig >> (b * band_width)) & ((1 << band_width) - 1)
+                out_key.append(f"{b}:{bits:x}")
+                out_id.append(doc_id)
+                out_sig.append(sig)
+        return pa.table({"band_key": pa.array(out_key, pa.string()),
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "sig": pa.array(out_sig, pa.int64())})
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(group.column("doc_id").to_pylist(),
+                              group.column("sig").to_pylist())))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                h = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if h <= hamming_k:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_h.append(h)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_key")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    # a pair can collide in several bands — keep one copy
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(ds, *, threshold: float = 0.95, sign_bits: int = 4):
     """embeddings → Dataset[(vec_a, vec_b, cosine_bp)] near-dup pairs.
 

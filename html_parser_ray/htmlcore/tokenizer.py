@@ -552,10 +552,11 @@ class Tokenizer:
                 end = m.end()
                 attrs = []
                 seen: set[str] = set()
+                base = m.start(2)
                 for am in _FAST_ATTR.finditer(m.group(2)):
                     aname = am.group(1).lower()
                     if aname in seen:
-                        self._err("duplicate-attribute", pos + am.start(1))
+                        self._err("duplicate-attribute", base + am.start(1))
                         continue
                     seen.add(aname)
                     value = am.group(2)
@@ -565,8 +566,8 @@ class Tokenizer:
                         value = am.group(4)
                     if value is None:
                         value = ""
-                    attrs.append((aname, value, pos + am.start(1),
-                                  pos + am.end()))
+                    attrs.append((aname, value, base + am.start(1),
+                                  base + am.end()))
                 self.pos = end
                 self.last_start_tag = name
                 self._emit((START, name, attrs, m.group(3) == "/",

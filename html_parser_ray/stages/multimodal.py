@@ -1,0 +1,294 @@
+"""Multimodal columns: image / audio / video as opaque ``binary`` payloads
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no codec libraries (no PIL / torchaudio / ffmpeg), so the
+DECODE step is gated behind an import-try: with a real library present the
+stage decodes real bytes; otherwise it falls back to the deterministic FAKE
+container format below (or raises NotImplementedError for foreign bytes).
+The Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and tested; only the codec call is stubbed.
+
+FAKE container format (deterministic, self-describing):
+  b"FAKEIMG1" + u16 width + u16 height + u8 channels + pixel bytes
+  b"FAKEAUD1" + u32 sample_rate + u32 n_samples + i16 samples
+  b"FAKEVID1" + u16 width + u16 height + u16 n_frames + frame bytes
+
+Payloads are multi-KB binary cells: batch_size for these stages must be
+sized in BYTES not rows (see media_pool), exactly the discipline a real
+100 TB image corpus needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # image | audio | video
+    ("payload", pa.binary()),
+    ("source_url", pa.string()),
+])
+
+try:  # real codec path — absent in this container, used when available
+    from PIL import Image as _PIL_Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media (no external data; seeded by id)
+
+def make_image_payload(media_id: int) -> bytes:
+    width = 16 + (media_id * 7) % 48
+    height = 16 + (media_id * 13) % 48
+    channels = 3
+    n = width * height * channels
+    seed = hashlib.blake2b(struct.pack("<q", media_id),
+                           digest_size=8).digest()
+    reps = n // 8 + 1
+    pixels = (seed * reps)[:n]
+    return b"FAKEIMG1" + struct.pack("<HHB", width, height, channels) + pixels
+
+
+def make_audio_payload(media_id: int) -> bytes:
+    sample_rate = 16_000
+    n_samples = 1024 + (media_id * 31) % 2048
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 110.0 + (media_id % 40) * 11.0
+    wave = (np.sin(2 * np.pi * freq * t / sample_rate) * 12_000).astype("<i2")
+    return (b"FAKEAUD1" + struct.pack("<II", sample_rate, n_samples)
+            + wave.tobytes())
+
+
+def make_video_payload(media_id: int) -> bytes:
+    width, height = 32, 24
+    n_frames = 8 + (media_id * 3) % 24
+    frame = hashlib.blake2b(struct.pack("<q", media_id),
+                            digest_size=16).digest()
+    reps = (width * height) // 16 + 1
+    frames = ((frame * reps)[:width * height]) * n_frames
+    return (b"FAKEVID1" + struct.pack("<HHH", width, height, n_frames)
+            + frames)
+
+
+def media_table(n_rows: int, start: int = 0) -> pa.Table:
+    kinds = ("image", "audio", "video")
+    makers = (make_image_payload, make_audio_payload, make_video_payload)
+    ids, kind_col, payloads, urls = [], [], [], []
+    for i in range(start, start + n_rows):
+        k = i % 3
+        ids.append(i)
+        kind_col.append(kinds[k])
+        payloads.append(makers[k](i))
+        urls.append(f"https://example.org/media/{i:08d}.{kinds[k][:3]}")
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "kind": pa.array(kind_col, pa.string()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "source_url": pa.array(urls, pa.string())},
+                    schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode kernels (codec boundary — the ONLY stubbed part)
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    if payload.startswith(b"FAKEIMG1"):
+        width, height, channels = struct.unpack_from("<HHB", payload, 8)
+        pixels = np.frombuffer(payload, dtype=np.uint8, offset=13,
+                               count=width * height * channels)
+        return width, height, channels, pixels.reshape(height, width, channels)
+    if _HAVE_PIL:  # pragma: no cover — no PIL in this container
+        import io
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img)
+        return img.width, img.height, 3, arr
+    raise NotImplementedError(
+        "real image codecs unavailable in this container; only the FAKEIMG1 "
+        "container decodes (SURVEY.md: multimodal decode is stubbed)")
+
+
+def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    if payload.startswith(b"FAKEAUD1"):
+        sample_rate, n_samples = struct.unpack_from("<II", payload, 8)
+        samples = np.frombuffer(payload, dtype="<i2", offset=16,
+                                count=n_samples)
+        return sample_rate, samples
+    raise NotImplementedError("real audio codecs unavailable; FAKEAUD1 only")
+
+
+def _decode_video(payload: bytes) -> tuple[int, int, int, bytes]:
+    if payload.startswith(b"FAKEVID1"):
+        width, height, n_frames = struct.unpack_from("<HHH", payload, 8)
+        return width, height, n_frames, payload[14:]
+    raise NotImplementedError("real video codecs unavailable; FAKEVID1 only")
+
+
+# ---------------------------------------------------------------------------
+# actor stages
+
+class ImageFeatureStage:
+    """media(image) → (media_id, width, height, channels, mean_luma_bp,
+    phash) — decode + feature-extract, one row per image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": [], "width": [], "height": [], "channels": [],
+               "mean_luma_bp": [], "phash": [], "status": []}
+        for mid, payload in zip(ids, payloads):
+            try:
+                w, h, c, arr = _decode_image(payload)
+                luma = float(arr.astype(np.float64).mean()) / 255.0
+                # 64-bit average-hash over an 8x8 downsample (public aHash)
+                gray = arr.mean(axis=2)
+                ys = np.linspace(0, h - 1, 8).astype(int)
+                xs = np.linspace(0, w - 1, 8).astype(int)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small > small.mean()).flatten()
+                phash = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        phash |= 1 << i
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_luma_bp"].append(int(round(luma * 10_000)))
+                out["phash"].append(phash & ((1 << 63) - 1))
+                out["status"].append("ok")
+            except NotImplementedError:
+                out["media_id"].append(mid)
+                out["width"].append(0)
+                out["height"].append(0)
+                out["channels"].append(0)
+                out["mean_luma_bp"].append(0)
+                out["phash"].append(0)
+                out["status"].append("codec_unavailable")
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "channels": pa.array(out["channels"], pa.int64()),
+            "mean_luma_bp": pa.array(out["mean_luma_bp"], pa.int64()),
+            "phash": pa.array(out["phash"], pa.int64()),
+            "status": pa.array(out["status"], pa.string()),
+        })
+
+
+class ImageResizeStage:
+    """media(image) → re-encoded FAKEIMG1 payload at target size
+    (nearest-neighbor; a real deployment swaps the codec call only)."""
+
+    def __init__(self, target_width: int = 16, target_height: int = 16):
+        self.tw = target_width
+        self.th = target_height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_payloads, status = [], [], []
+        for mid, payload in zip(ids, payloads):
+            try:
+                w, h, c, arr = _decode_image(payload)
+                ys = np.linspace(0, h - 1, self.th).astype(int)
+                xs = np.linspace(0, w - 1, self.tw).astype(int)
+                small = arr[np.ix_(ys, xs)]
+                out_ids.append(mid)
+                out_payloads.append(
+                    b"FAKEIMG1" + struct.pack("<HHB", self.tw, self.th, c)
+                    + small.tobytes())
+                status.append("ok")
+            except NotImplementedError:
+                out_ids.append(mid)
+                out_payloads.append(b"")
+                status.append("codec_unavailable")
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "payload": pa.array(out_payloads, pa.binary()),
+            "width": pa.array([self.tw] * len(out_ids), pa.int64()),
+            "height": pa.array([self.th] * len(out_ids), pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+
+class AudioFeatureStage:
+    """media(audio) → (media_id, sample_rate, n_samples, duration_ms,
+    rms_bp, zero_crossings)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": [], "sample_rate": [], "n_samples": [],
+               "duration_ms": [], "rms_bp": [], "zero_crossings": [],
+               "status": []}
+        for mid, payload in zip(ids, payloads):
+            try:
+                rate, samples = _decode_audio(payload)
+                f = samples.astype(np.float64) / 32768.0
+                rms = float(np.sqrt((f * f).mean())) if len(f) else 0.0
+                zc = int(((f[:-1] * f[1:]) < 0).sum()) if len(f) > 1 else 0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(int(len(samples) * 1000 / rate))
+                out["rms_bp"].append(int(round(rms * 10_000)))
+                out["zero_crossings"].append(zc)
+                out["status"].append("ok")
+            except NotImplementedError:
+                out["media_id"].append(mid)
+                out["sample_rate"].append(0)
+                out["n_samples"].append(0)
+                out["duration_ms"].append(0)
+                out["rms_bp"].append(0)
+                out["zero_crossings"].append(0)
+                out["status"].append("codec_unavailable")
+        return pa.table({k: pa.array(v, pa.int64() if k != "status"
+                                     else pa.string())
+                         for k, v in out.items()})
+
+
+class VideoFrameSampleStage:
+    """media(video) → one row per sampled frame (every ``stride``-th),
+    frame re-encoded as a FAKEIMG1 payload — the explode shape a real
+    frame-sampling stage has."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(ids, payloads):
+            try:
+                w, h, n_frames, data = _decode_video(payload)
+            except NotImplementedError:
+                continue
+            frame_size = w * h
+            for i in range(0, n_frames, self.stride):
+                raw = data[i * frame_size:(i + 1) * frame_size]
+                out_ids.append(mid)
+                frame_idx.append(i)
+                frames.append(b"FAKEIMG1" + struct.pack("<HHB", w, h, 1) + raw)
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "frame_index": pa.array(frame_idx, pa.int64()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        })
+
+
+def media_pool(ds, cls, *, batch_size: int = 32, num_cpus: float = 1, **ctor):
+    """Wire a media stage: SMALL batches — payloads are KB-to-MB binary
+    cells, so rows x mean-payload must stay well under the worker heap
+    (for real image corpora use batch_size 8-16 at ~1 MB images)."""
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    concurrency = max(2, int(n * 0.75 / max(num_cpus, 1e-9)))
+    return ds.map_batches(cls, fn_constructor_kwargs=ctor,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=num_cpus)

@@ -202,3 +202,22 @@ def test_testdata_extract_query_runs(ray_session):
     ds = entrymod.queries()["extract_visible_text"](SF_DIR)
     rows = ds.take(5)
     assert rows and all("text_out" in r for r in rows)
+
+
+def test_simhash_neardup_pairs_dataset(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import simhash_neardup_pairs, simhash64
+    base = "the quick brown fox jumps over the lazy dog once more " * 8
+    near = base + "tail"
+    far = "totally different vocabulary about other topics here " * 8
+    assert bin(simhash64(base) ^ simhash64(near)).count("1") <= 3
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, near, far], pa.string()),
+    })
+    out = simhash_neardup_pairs(ray.data.from_arrow(tbl), hamming_k=3).take_all()
+    pairs = sorted((r["doc_a"], r["doc_b"]) for r in out)
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # no duplicate pair rows despite multi-band collisions
+    assert len(pairs) == len(set(pairs))
