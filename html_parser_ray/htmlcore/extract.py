@@ -53,6 +53,11 @@ def _normalize_newlines(value: str) -> str:
 
 
 def _collapse_ws(value: str) -> str:
+    # cheap C-level prechecks: most segments have only single spaces, and
+    # re.sub always rescans + reallocates even when nothing changes
+    if ("\t" not in value and "\n" not in value and "\f" not in value
+            and "\r" not in value and "  " not in value):
+        return value
     return _WS_RUN.sub(" ", value)
 
 

@@ -1388,10 +1388,19 @@ class TreeBuilder:
     def _adoption_agency(self, token: tuple) -> None:
         subject = token[1]
         cur = self.current
-        if (cur.ns == HTML_NS and cur.name == subject
-                and not any(e is not _MARKER and e[0] is cur for e in self.afe)):
-            self._pop()
-            return
+        if cur.ns == HTML_NS and cur.name == subject:
+            if not any(e is not _MARKER and e[0] is cur for e in self.afe):
+                self._pop()
+                return
+            # well-nested common case: the formatting element is the current
+            # node, its AFE entry is the latest for this name, and no
+            # special element sits above it — first AAA iteration reduces
+            # to pop + AFE removal
+            entry = self._afe_find(subject)
+            if entry is not None and entry[0] is cur:
+                self._pop()
+                self._afe_remove_element(cur)
+                return
         for _ in range(8):
             entry = self._afe_find(subject)
             if entry is None:

@@ -109,10 +109,62 @@ def write_extracted(extracted_ds, out_dir: str, n_buckets: int = 64):
     ds.write_parquet(out_dir, partition_cols=["part"])
 
 
+# ---------------------------------------------------------------------------
+# giant-document skew routing (SURVEY.md §4.2 "Skew"): at high parallelism a
+# handful of multi-MB documents straggle whole dispatch bundles. Split the
+# stream on html size: the big slice runs with batch_size=1 (one doc per
+# task) on the same actor class, the normal slice with the usual bundles,
+# and the results union. Both slices stream; nothing materializes.
+
+GIANT_DOC_BYTES = 1_000_000
+
+
+def extract_with_skew_routing(pages_ds, *, giant_bytes: int = GIANT_DOC_BYTES,
+                              concurrency=None, batch_size: int = 16):
+    import pyarrow.compute as pc
+    from ..stages.extract import extract_pages
+
+    def is_small(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(pc.binary_length(batch.column("html")),
+                             giant_bytes)
+        return batch.filter(mask)
+
+    def is_giant(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.binary_length(batch.column("html")), giant_bytes)
+        return batch.filter(mask)
+
+    small = pages_ds.map_batches(is_small, batch_format="pyarrow")
+    giant = pages_ds.map_batches(is_giant, batch_format="pyarrow")
+    small_out = extract_pages(small, concurrency=concurrency,
+                              batch_size=batch_size)
+    giant_out = extract_pages(giant, concurrency=2, batch_size=1)
+    return small_out.union(giant_out)
+
+
+def write_quarantine(extracted_ds, out_dir: str):
+    """Split ok rows from failed rows: failures land in
+    ``out_dir/_quarantine/`` with their error payloads so a 10^12-doc run
+    can be audited/replayed without grepping the main output."""
+    import pyarrow.compute as pc
+
+    def bad_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("status"), "ok"))
+
+    bad = extracted_ds.map_batches(bad_only, batch_format="pyarrow")
+    import os
+    bad.write_parquet(os.path.join(out_dir, "_quarantine"))
+
+
 def run_extract(input_path: str, out_dir: str, *, concurrency=None,
-                batch_size: int = 64, n_buckets: int = 64) -> None:
-    """Flagship job: read → extract → partitioned write. Streaming end-to-end."""
+                batch_size: int = 16, n_buckets: int = 64,
+                skew_routing: bool = True) -> None:
+    """Flagship job: read → extract (skew-routed) → partitioned write.
+    Streaming end-to-end."""
     pages = read_pages(input_path, columns=["url", "warc_ts", "html", "lang"])
-    extracted = extract_pipeline(pages, concurrency=concurrency,
-                                 batch_size=batch_size)
+    if skew_routing:
+        extracted = extract_with_skew_routing(
+            pages, concurrency=concurrency, batch_size=batch_size)
+    else:
+        extracted = extract_pipeline(pages, concurrency=concurrency,
+                                     batch_size=batch_size)
     write_extracted(extracted, out_dir, n_buckets)

@@ -221,3 +221,42 @@ def test_simhash_neardup_pairs_dataset(ray_session):
     assert all(3 not in p for p in pairs)
     # no duplicate pair rows despite multi-band collisions
     assert len(pairs) == len(set(pairs))
+
+
+def test_skew_routing_union_complete(ray_session):
+    """Giant docs route to the batch-of-1 pool; union preserves every row."""
+    import ray
+    from html_parser_ray.sources.synth import make_table
+    from html_parser_ray.pipelines.extract import extract_with_skew_routing
+    tbl = make_table(60, seed=21, size_scale=8)  # mix incl. giant outliers
+    ds = ray.data.from_arrow(tbl)
+    out = extract_with_skew_routing(ds, giant_bytes=20_000,
+                                    concurrency=2, batch_size=8)
+    rows = out.take_all()
+    assert len(rows) == 60
+    assert sorted(r["url"] for r in rows) == \
+        sorted(tbl.column("url").to_pylist())
+
+
+def test_quarantine_write(ray_session, tmp_path):
+    import ray
+    import datetime
+    from html_parser_ray.stages.extract import extract_pages
+    from html_parser_ray.htmlcore.api import Budgets
+    from html_parser_ray.pipelines.extract import write_quarantine
+    big = b"<p>" + b"x" * 5000
+    tbl = pa.table({
+        "url": pa.array(["ok1", "bad1", "ok2"], pa.string()),
+        "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * 3,
+                            pa.timestamp("us")),
+        "html": pa.array([b"<p>a</p>", big, b"<p>b</p>"], pa.binary()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    extracted = extract_pages(ray.data.from_arrow(tbl), concurrency=2,
+                              batch_size=2,
+                              budgets=Budgets(max_input_bytes=1000))
+    out_dir = str(tmp_path / "out")
+    write_quarantine(extracted, out_dir)
+    quarantined = ray.data.read_parquet(f"{out_dir}/_quarantine").take_all()
+    assert [r["url"] for r in quarantined] == ["bad1"]
+    assert quarantined[0]["status"] == "budget_exceeded"
