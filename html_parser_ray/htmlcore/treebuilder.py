@@ -489,17 +489,20 @@ class TreeBuilder:
             last = i == 0
             if last and self.fragment_context is not None:
                 node = self.fragment_context
-            name = node.name if node.ns == HTML_NS else ""
+            # parse5 switches on the tag id with NO namespace check
+            # (parser/index.js:566-630) — a <math thead> resets to
+            # IN_TABLE_BODY; the WHATWG spec reads as HTML-only but the
+            # reference vendors parse5, so its behavior is the parity target
+            name = node.name
             if name == "select":
                 mode = IN_SELECT
                 for j in range(i - 1, 0, -1):
                     anc = self.stack[j]
-                    if anc.ns == HTML_NS:
-                        if anc.name == "template":
-                            break
-                        if anc.name == "table":
-                            mode = IN_SELECT_IN_TABLE
-                            break
+                    if anc.name == "template":
+                        break
+                    if anc.name == "table":
+                        mode = IN_SELECT_IN_TABLE
+                        break
                 self.mode = mode
                 return
             if name in ("td", "th") and not last:
