@@ -413,6 +413,18 @@ def q_video_frame_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    from html_parser_ray.functions.windows import sessionize
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return sessionize(ds, gap_s=1800)
+
+
+def q_tumbling_window(sf_dir: str):
+    from html_parser_ray.functions.windows import tumbling_window_agg
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return tumbling_window_agg(ds, window_s=3600)
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -492,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "sessionize": q_sessionize,
+        "tumbling_window": q_tumbling_window,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "top_users_by_value": q_top_users_by_value,
@@ -601,6 +615,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id AS media_id, f.i AS frame_index FROM documents d "
             "JOIN (SELECT unnest(generate_series(0, 31)) AS i) f "
             "ON f.i % 4 = 0 AND f.i < 8 + (d.doc_id * 3) % 24"
+        ),
+        "sessionize": (
+            "WITH ordered AS ("
+            "  SELECT user_id, event_id, ts, value,"
+            "    CASE WHEN ts - LAG(ts) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) "
+            "      > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk"
+            "  FROM events), "
+            "sess AS ("
+            "  SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS "
+            "    session_idx FROM ordered) "
+            "SELECT user_id, session_idx, MIN(ts) AS session_start, "
+            "MAX(ts) AS session_end, COUNT(*) AS n_events, "
+            "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
+            "FROM sess GROUP BY user_id, session_idx"
+        ),
+        "tumbling_window": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) * "
+            "3600000000) AS window_start, COUNT(*) AS n_events, "
+            "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
+            "FROM events GROUP BY 1"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(round(SUM(value) * 100) AS BIGINT) AS "
