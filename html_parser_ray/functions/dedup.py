@@ -29,31 +29,49 @@ _MINHASH_SEEDS = [((0x9E3779B97F4A7C15 + 0x6C62272E07BB0142 * i) & _MASK64) | 1
                   for i in range(64)]
 
 
-def _shingles(text: str, n: int = 3) -> set[int]:
-    """word-n-gram shingle hashes."""
-    words = _WS.split(text.strip().lower())
-    if len(words) < n:
-        return {hash_bytes(" ".join(words).encode())} if words else set()
-    out = set()
-    for i in range(len(words) - n + 1):
-        out.add(hash_bytes(" ".join(words[i:i + n]).encode()))
-    return out
+_SHINGLE_MIX = tuple(np.uint64(((0xC2B2AE3D27D4EB4F * (i + 1)) & _MASK64) | 1)
+                     for i in range(8))
 
 
 def hash_bytes(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
 
 
+def _shingle_array(text: str, n: int = 3) -> np.ndarray:
+    """word-n-gram shingle hashes, vectorized: one blake2b per WORD, then
+    the n-window combined with odd-constant multiplies + xor in numpy
+    (deterministic; Python's builtin hash() is salted per process so it
+    cannot be used)."""
+    words = _WS.split(text.strip().lower())
+    if not words or words == [""]:
+        return np.array([], dtype=np.uint64)
+    wh = np.fromiter((hash_bytes(w.encode()) for w in words),
+                     dtype=np.uint64, count=len(words))
+    if len(wh) < n:
+        acc = wh[0] * _SHINGLE_MIX[0]
+        for i in range(1, len(wh)):
+            acc = acc ^ (wh[i] * _SHINGLE_MIX[i % 8])
+        return np.array([acc], dtype=np.uint64)
+    acc = wh[:len(wh) - n + 1] * _SHINGLE_MIX[0]
+    for i in range(1, n):
+        acc = acc ^ (wh[i:len(wh) - n + 1 + i] * _SHINGLE_MIX[i % 8])
+    return np.unique(acc)
+
+
+def _shingles(text: str, n: int = 3) -> set[int]:
+    return set(_shingle_array(text, n).tolist())
+
+
+_SEED_ARR = np.array(_MINHASH_SEEDS, dtype=np.uint64)
+
+
 def minhash_signature(text: str, num_perm: int = 64, shingle_n: int = 3) -> list[int]:
-    sh = _shingles(text, shingle_n)
-    if not sh:
+    sh = _shingle_array(text, shingle_n)
+    if len(sh) == 0:
         return [0] * num_perm
-    arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-    sig = []
-    for seed in _MINHASH_SEEDS[:num_perm]:
-        hashed = (arr * np.uint64(seed)) & np.uint64(_MASK64)
-        sig.append(int(hashed.min()))
-    return sig
+    # one broadcasted multiply: (num_perm, n_shingles) -> row minima
+    hashed = _SEED_ARR[:num_perm, None] * sh[None, :]
+    return hashed.min(axis=1).tolist()
 
 
 def lsh_band_keys(sig: list[int], bands: int = 16) -> list[str]:
@@ -143,65 +161,57 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
 
 def minhash_dedup_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                         shingle_n: int = 3, jaccard_threshold: float = 0.8):
-    """documents → Dataset[(doc_a, doc_b, jaccard_bp)] verified near-dup pairs.
+    """documents → Dataset[(doc_a, doc_b, jaccard_bp)] near-dup pairs.
 
-    Candidate generation via LSH buckets; verification joins text back by
-    broadcasting the per-bucket texts (buckets are tiny by construction).
+    Fully distributed, no driver-side loops and no text reshuffle: the
+    explode stage computes each doc's minhash ONCE and ships
+    (band_key, doc_id, packed 512-byte signature); bucket groups verify
+    candidates with the standard MinHash Jaccard estimator (fraction of
+    agreeing signature slots — unbiased, stderr ≈ 1/sqrt(num_perm)); a
+    final groupby dedups pairs that collide in several bands. At 100 TB
+    the shuffle carries bands × 512 B per doc instead of the document
+    text, and the verify step needs no second pass over the corpus.
     """
-    cands = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
-                                   shingle_n=shingle_n)
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_keys: list[str] = []
+        out_ids: list[int] = []
+        out_sigs: list[bytes] = []
+        for doc_id, text in zip(ids, texts):
+            sig = minhash_signature(text, num_perm, shingle_n)
+            packed = struct.pack(f"<{num_perm}Q", *sig)
+            for key in lsh_band_keys(sig, bands):
+                out_keys.append(key)
+                out_ids.append(doc_id)
+                out_sigs.append(packed)
+        return pa.table({"band_key": pa.array(out_keys, pa.string()),
+                         "doc_id": pa.array(out_ids, pa.int64()),
+                         "sig": pa.array(out_sigs, pa.binary())})
 
-    def collect_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        pairs_a, pairs_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs_a.append(ids[i])
-                pairs_b.append(ids[j])
-        return pa.table({"doc_a": pa.array(pairs_a, pa.int64()),
-                         "doc_b": pa.array(pairs_b, pa.int64())})
-
-    pairs = cands.groupby("band_key").map_groups(
-        collect_pairs, batch_format="pyarrow")
-    if pairs.count() == 0:
-        return pairs
-
-    pairs_unique = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-
-    # verification: broadcast doc texts (id → text) via ray.put; candidate
-    # sets are small relative to the corpus, so a lookup map is the
-    # broadcast-small-side pattern, not a shuffle join
-    import ray
-    needed_ids = set()
-    for row in pairs_unique.iter_rows():
-        needed_ids.add(row["doc_a"])
-        needed_ids.add(row["doc_b"])
-    texts_ds = ds.map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id"),
-                            "text": b.column("text")}),
-        batch_format="pyarrow")
-    text_map = {}
-    for row in texts_ds.iter_rows():
-        if row["doc_id"] in needed_ids:
-            text_map[row["doc_id"]] = row["text"]
-    text_ref = ray.put(text_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted({(i, s) for i, s in
+                       zip(group.column("doc_id").to_pylist(),
+                           group.column("sig").to_pylist())})
+        sigs = [np.frombuffer(s, dtype=np.uint64) for _i, s in rows]
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(),
-                        batch.column("doc_b").to_pylist()):
-            score = jaccard(texts[a], texts[b], shingle_n)
-            if score >= jaccard_threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(int(round(score * 10_000)))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= jaccard_threshold:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_j.append(int(round(est * 10_000)))
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                          "doc_b": pa.array(out_b, pa.int64()),
                          "jaccard_bp": pa.array(out_j, pa.int64())})
 
-    return pairs_unique.map_batches(verify, batch_format="pyarrow")
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_key")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    # the same pair can surface from several bands — keep one copy
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
