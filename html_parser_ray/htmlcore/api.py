@@ -45,6 +45,8 @@ class Budgets:
     max_attributes_per_element: int | None = None
     max_attribute_bytes: int | None = None
     max_time_ms: int | None = None
+    max_trace_events: int | None = None
+    max_trace_bytes: int | None = None
 
 
 @dataclass(frozen=True)
@@ -70,6 +72,7 @@ class ParseTree:
     source_text: str = ""
     _ids: dict[int, int] | None = None       # id(node) -> NodeId (lazy)
     _by_id: dict[int, object] | None = None  # NodeId -> node (lazy)
+    trace: list | None = None                # seq-ordered trace events
 
     @property
     def ids(self) -> dict[int, int]:
@@ -244,12 +247,22 @@ def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
 
 
 def parse(html: str, *, scripting_enabled: bool = True,
-          capture_spans: bool = False, budgets: Budgets | None = None) -> ParseTree:
+          capture_spans: bool = False, budgets: Budgets | None = None,
+          trace: bool = False) -> ParseTree:
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
     text, _removed = normalize_newlines(html)
-    builder = TreeBuilder(scripting_enabled=scripting_enabled,
-                          capture_spans=capture_spans)
+    sink = None
+    if trace:
+        from .trace import TraceSink, TracingTreeBuilder
+        sink = TraceSink(budgets.max_trace_events if budgets else None,
+                         budgets.max_trace_bytes if budgets else None)
+        builder = TracingTreeBuilder(sink,
+                                     scripting_enabled=scripting_enabled,
+                                     capture_spans=capture_spans)
+    else:
+        builder = TreeBuilder(scripting_enabled=scripting_enabled,
+                              capture_spans=capture_spans)
     doc = builder.parse(text)
     _patch_select_adoption(doc)
     errors = _collect_errors(builder, builder.tokenizer.errors)
@@ -257,19 +270,33 @@ def parse(html: str, *, scripting_enabled: bool = True,
     n_nodes, max_depth = _compute_metrics(doc.children)
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
+    trace_events = None
+    if sink is not None:
+        sink.push("token", count=getattr(builder, "_token_count", 0))
+        for err in errors:
+            sink.push("parseError", parseErrorId=err.parse_error_id)
+        trace_events = sink.events
     return ParseTree("document", 1, doc.children, errors, doc.quirks_mode,
-                     n_nodes, max_depth, None, text)
+                     n_nodes, max_depth, None, text, trace=trace_events)
 
 
 def parse_bytes(data: bytes, *, transport_encoding_label: str | None = None,
                 scripting_enabled: bool = True, capture_spans: bool = False,
-                budgets: Budgets | None = None) -> ParseTree:
+                budgets: Budgets | None = None,
+                trace: bool = False) -> ParseTree:
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(data))
     text, sniff = decode_html_bytes(data, transport_encoding_label)
     tree = parse(text, scripting_enabled=scripting_enabled,
-                 capture_spans=capture_spans, budgets=budgets)
+                 capture_spans=capture_spans, budgets=budgets, trace=trace)
     tree.encoding = sniff  # type: ignore[attr-defined]
+    if trace and tree.trace is not None:
+        # decode trace appended after parse, as the reference does
+        # (mod.ts:611-633)
+        seq = (tree.trace[-1]["seq"] + 1) if tree.trace else 1
+        tree.trace.append({"seq": seq, "kind": "decode", "source": "bytes",
+                           "encoding": sniff.encoding,
+                           "sniffSource": sniff.source})
     return tree
 
 

@@ -349,3 +349,18 @@ def test_seeded_fuzz_no_crash(seed):
     html = "".join(rng.choice(frags) for _ in range(rng.randint(5, 80)))
     tree = parse(html)  # must not raise
     visible_text(tree)  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# pinned holdout regressions (reference: holdout-regressions.test.js:7-29)
+
+def test_holdout_frameset_fragment_keeps_frame():
+    frag = parse_fragment("</frameset><frame>", "frameset")
+    assert normalize_tree(frag) == "| <frame>"
+
+
+def test_holdout_serializer_dd_vs_dt_end_tag():
+    from html_parser_ray.htmlcore.fixture_serializer import (
+        serialize_fixture_token_stream as fser)
+    assert fser([["EndTag", "dd"]], {}) == ""
+    assert fser([["EndTag", "dt"]], {}) == "</dt>"

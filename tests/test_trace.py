@@ -1,0 +1,63 @@
+"""Trace-channel schema tests (mirror of trace-schema.test.js)."""
+
+from html_parser_ray.htmlcore.api import Budgets, parse, parse_bytes
+
+
+def test_trace_schema_and_monotonic_seq():
+    tree = parse("<!doctype html><table><tr><td>a</td></tr>outside"
+                 "<tr><td>b</td></tr></table>", trace=True,
+                 budgets=Budgets(max_trace_events=128,
+                                 max_trace_bytes=32768))
+    assert tree.trace
+    seen = set()
+    prev = 0
+    for event in tree.trace:
+        assert event["seq"] > prev
+        prev = event["seq"]
+        seen.add(event["kind"])
+        if event["kind"] == "token":
+            assert event["count"] >= 0
+        elif event["kind"] == "insertionModeTransition":
+            assert isinstance(event["fromMode"], str)
+            assert isinstance(event["toMode"], str)
+            assert "type" in event["tokenContext"]
+        elif event["kind"] == "tree-mutation":
+            assert event["nodeCount"] >= 1
+            assert event["errorCount"] >= 0
+        elif event["kind"] == "parseError":
+            assert isinstance(event["parseErrorId"], str)
+    assert {"token", "insertionModeTransition", "tree-mutation",
+            "parseError"} <= seen
+
+
+def test_trace_decode_event_appended_for_bytes():
+    tree = parse_bytes(b"<meta charset='utf-8'><p>x</p>", trace=True)
+    last = tree.trace[-1]
+    assert last["kind"] == "decode"
+    assert last["encoding"] == "utf-8" and last["sniffSource"] == "meta"
+
+
+def test_trace_budget_caps_events_not_parse():
+    tree = parse("<div>" * 50 + "x", trace=True,
+                 budgets=Budgets(max_trace_events=10))
+    assert tree.trace[-1]["kind"] == "budget"
+    assert tree.trace[-1]["budget"] == "maxTraceEvents"
+    assert len(tree.trace) == 11  # 10 events + the closing budget record
+    assert tree.n_nodes > 10  # the parse itself is unaffected
+
+
+def test_trace_off_by_default_and_identical_result():
+    from html_parser_ray.htmlcore.normalize import normalize_tree
+    html = "<b>1<table><tr>x<td>y</td></tr></table><i>z"
+    plain = parse(html)
+    traced = parse(html, trace=True)
+    assert plain.trace is None
+    assert normalize_tree(plain) == normalize_tree(traced)
+    assert [e.parse_error_id for e in plain.errors] == \
+        [e.parse_error_id for e in traced.errors]
+
+
+def test_trace_deterministic():
+    tree1 = parse("<p>a</p><table><tr><td>b</td></tr></table>", trace=True)
+    tree2 = parse("<p>a</p><table><tr><td>b</td></tr></table>", trace=True)
+    assert tree1.trace == tree2.trace
