@@ -413,6 +413,14 @@ def q_video_frame_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_deterministic_sample(sf_dir: str):
+    """hash(id)%10 holdout sampling — the reference's deterministic
+    selection pattern as a Dataset op (never random_sample)."""
+    from html_parser_ray.functions.textstats import deterministic_sample_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.map_batches(deterministic_sample_batch, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     from html_parser_ray.functions.windows import sessionize
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
@@ -504,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "deterministic_sample": q_deterministic_sample,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
         "ann_topk": q_ann_topk,
@@ -615,6 +624,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id AS media_id, f.i AS frame_index FROM documents d "
             "JOIN (SELECT unnest(generate_series(0, 31)) AS i) f "
             "ON f.i % 4 = 0 AND f.i < 8 + (d.doc_id * 3) % 24"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 10 = 0"
         ),
         "sessionize": (
             "WITH ordered AS ("

@@ -166,3 +166,15 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         "alpha_ratio_bp": pa.array([int(round(f[5] * 10_000)) for f in feats], pa.int64()),
         "stopword_ratio_bp": pa.array([int(round(f[6] * 10_000)) for f in feats], pa.int64()),
     })
+
+
+def deterministic_sample_batch(batch: pa.Table, mod: int = 10,
+                               keep: int = 0) -> pa.Table:
+    """Deterministic holdout-style sampling: keep rows whose
+    md5(doc_id)-derived value % mod == keep (reference analog: hash(id)%10
+    holdout selection, run-tokenizer-fixtures.mjs:56-62). Never
+    random_sample — determinism is a product requirement."""
+    ids = batch.column("doc_id").to_pylist()
+    mask = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % mod == keep
+            for i in ids]
+    return batch.filter(pa.array(mask, pa.bool_()))
