@@ -608,14 +608,22 @@ class Tokenizer:
                 continue
             if c == "=":
                 self._err("unexpected-equals-sign-before-attribute-name", pos)
-                # spec: start attr name WITH the '='
+                # spec: start the attr name WITH the '=', then continue in
+                # attribute-name state — after-name handling (ws* then '='
+                # for a value, else empty value) is the normal one
                 astart = pos
                 pos += 1
                 m = _ATTR_NAME_RUN.match(s, pos)
                 aname = "=" + (m.group() if m else "")
                 pos = m.end() if m else pos
-                pos, value, aend = self._attr_value(pos)
                 aname = aname.lower().replace("\x00", "�")
+                ws_end = pos
+                while ws_end < n and s[ws_end] in _WS:
+                    ws_end += 1
+                if ws_end < n and s[ws_end] == "=":
+                    pos, value, aend = self._attr_value(ws_end)
+                else:
+                    value, aend = "", pos
                 if aname in seen:
                     self._err("duplicate-attribute", astart)
                 else:
@@ -867,6 +875,14 @@ class Tokenizer:
                         parts.append("-" * (dashes - 2))
                         self.pos = pos + 2
                         self._emit((COMMENT, "".join(parts), lt_pos, pos + 2))
+                        return
+                    if pos + 1 >= n:
+                        # EOF in comment-end-bang: the "--!" is NOT appended
+                        parts.append("-" * (dashes - 2))
+                        self._err("eof-in-comment", n)
+                        self.pos = n
+                        self._emit((COMMENT, "".join(parts), lt_pos, n))
+                        self._eof()
                         return
                     parts.append("-" * (dashes - 2) + "--!")
                     pos += 1

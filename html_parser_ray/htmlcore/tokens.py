@@ -72,7 +72,8 @@ def tokenize(html: str, *, initial_state: str = "data",
             elif kind == COMMENT:
                 out.append({"type": "Comment", "data": token[1]})
             elif kind == DOCTYPE:
-                out.append({"type": "Doctype", "name": token[1],
+                # reference facade maps a missing name to "" (tokenize.ts)
+                out.append({"type": "Doctype", "name": token[1] or "",
                             "publicId": token[2], "systemId": token[3],
                             "forceQuirks": bool(token[4])})
             elif kind == EOF:

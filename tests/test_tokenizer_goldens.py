@@ -1,0 +1,34 @@
+"""360-case tokenizer conformance corpus (html5lib-style).
+
+Targeted entity / comment / doctype / tag edge cases, initial-state
+overrides (rcdata/rawtext/script_data/plaintext/cdata with lastStartTag
+arming) and seeded random compositions; goldens produced by driving the
+reference's vendored parse5 Tokenizer through
+tools/ref_oracle/tokenizer_oracle.mjs with the reference facade semantics
+(first-wins attrs, adjacent-character merging, EOF append)."""
+
+import json
+import os
+
+import pytest
+
+from html_parser_ray.htmlcore.tokens import tokenize
+
+ROOT = os.path.join(os.path.dirname(__file__), "fixtures",
+                    "tokenizer_goldens")
+
+with open(os.path.join(ROOT, "cases.jsonl")) as f:
+    CASES = [json.loads(line) for line in f]
+with open(os.path.join(ROOT, "golden.jsonl")) as f:
+    GOLDEN = {json.loads(line)["id"]: json.loads(line)["tokens"]
+              for line in f}
+
+
+@pytest.mark.parametrize("chunk", range(0, len(CASES), 40))
+def test_tokenizer_goldens_chunk(chunk):
+    for case in CASES[chunk:chunk + 40]:
+        got = tokenize(case["html"], initial_state=case["initialState"],
+                       last_start_tag=case["lastStartTag"])
+        assert got == GOLDEN[case["id"]], (
+            f"case {case['id']} ({case['initialState']}): "
+            f"{case['html'][:100]!r}")
