@@ -81,3 +81,45 @@ def test_corpus_minimum_sizes():
     # reference asserts corpus floor sizes (visible-text.test.js:33-36,65)
     assert len(_cases(FIXTURES)) >= 112
     assert len(_cases(FALLBACK)) >= 12
+
+
+def test_fixture_corpus_through_ray_pipeline(ray_session):
+    """North-rule invariant end-to-end: the reference's fixture corpus as a
+    CC-style pages table → ExtractStage actor pool → byte-identical text
+    per url."""
+    import datetime
+    import pyarrow as pa
+    import ray
+    from html_parser_ray.stages.extract import extract_pages
+
+    urls, htmls, expected = [], [], {}
+    for case in _cases(FIXTURES):
+        root = os.path.join(FIXTURES, case)
+        url = f"fixture://{case}"
+        urls.append(url)
+        # fixture files carry no <meta charset>; a UTF-8 BOM plays the role
+        # of the transport-level encoding signal a crawl would have (the
+        # reference harness parses already-decoded strings)
+        htmls.append(b"\xef\xbb\xbf"
+                     + _read(os.path.join(root, "input.html")).encode("utf-8"))
+        expected[url] = _expected_text(os.path.join(root, "expected.txt"))
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * len(urls),
+                            pa.timestamp("us")),
+        # no meta charset in fixture files: label transport utf-8 via BOM-free
+        # content — wrap bytes so the sniffer defaults correctly
+        "html": pa.array(htmls, pa.binary()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+    })
+    ds = extract_pages(ray.data.from_arrow(pages), concurrency=2,
+                       batch_size=16)
+    rows = ds.take_all()
+    assert len(rows) == len(urls)
+    mismatches = [r["url"] for r in rows
+                  if r["status"] == "ok" and r["text"] != expected[r["url"]]]
+    # fixture inputs are ASCII/UTF-8; windows-1252 default decode is
+    # byte-transparent for ASCII — any non-ASCII fixture would need a
+    # transport label, so assert everything matched
+    assert mismatches == [], mismatches[:5]
+    assert all(r["status"] == "ok" for r in rows)
