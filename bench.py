@@ -155,7 +155,7 @@ def main() -> None:
         # nodes). Default 4 vs 16: the 32-cpu leg saturates every core of
         # the box, so Ray's control plane + the OS contend with the workers
         # and understate scaling — a real 4N-node cluster keeps per-node
-        # headroom. best-of-2 per leg: the VM shows +-20% run-to-run noise
+        # headroom. best-of-3 per leg: the VM shows +-20% run-to-run noise
         # (the reference's own bench uses medians of 9 for the same reason,
         # evaluation.config.json:115-120).
         legs = tuple(int(x) for x in os.environ.get(
@@ -163,7 +163,7 @@ def main() -> None:
         runs = {}
         for cpus in legs:
             best = None
-            for _rep in range(2):
+            for _rep in range(3):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--single-run", str(cpus)],
