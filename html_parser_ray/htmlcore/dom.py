@@ -86,12 +86,14 @@ class Doctype:
 # ---------------------------------------------------------------------------
 # spec tag categories
 
+# NOTE: parse5 added `search` to its block dispatch lists but NOT to
+# SPECIAL_ELEMENTS (common/html.js:421) — parity requires the same omission
 SPECIAL_HTML = frozenset("""
 address applet area article aside base basefont bgsound blockquote body br
 button caption center col colgroup dd details dir div dl dt embed fieldset
 figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head header
 hgroup hr html iframe img input keygen li link listing main marquee menu meta
-nav noembed noframes noscript object ol p param plaintext pre script search
+nav noembed noframes noscript object ol p param plaintext pre script
 section select source style summary table tbody td template textarea tfoot th
 thead title tr track ul wbr xmp
 """.split())

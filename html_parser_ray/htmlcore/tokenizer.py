@@ -105,8 +105,8 @@ class Tokenizer:
 
     __slots__ = (
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
-        "_queue", "_qidx", "_text_parts", "_text_start", "errors",
-        "capture_offsets", "_initial_state_override",
+        "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
+        "errors", "capture_offsets", "_initial_state_override",
     )
 
     def __init__(self, html: str, capture_offsets: bool = False,
@@ -117,6 +117,10 @@ class Tokenizer:
         self.state = initial_state
         self.last_start_tag = last_start_tag
         self.allow_cdata = False
+        # set by the tree builder while foreign content is on the stack:
+        # any popped end tag may re-enable CDATA, so run-ahead must stop
+        # after every token
+        self.single_step = False
         self._queue: list[tuple] = []
         self._qidx = 0
         self._text_parts: list[str] = []
@@ -216,7 +220,7 @@ class Tokenizer:
         # switch tokenizer state (rawtext/script/plaintext/foreign-content
         # roots) or while CDATA is possible (foreign content) — then the
         # builder must see each token before the next is produced.
-        target = self._qidx + (1 if self.allow_cdata else 32)
+        target = self._qidx + (1 if (self.allow_cdata or self.single_step) else 32)
         while pos < n:
             m = _DATA_RUN.match(s, pos)
             if m:

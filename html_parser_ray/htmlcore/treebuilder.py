@@ -44,6 +44,7 @@ IN_CELL = "inCell"
 IN_SELECT = "inSelect"
 IN_SELECT_IN_TABLE = "inSelectInTable"
 IN_TEMPLATE = "inTemplate"
+IN_UNDEFINED = "undefined"
 AFTER_BODY = "afterBody"
 IN_FRAMESET = "inFrameset"
 AFTER_FRAMESET = "afterFrameset"
@@ -163,6 +164,7 @@ class TreeBuilder:
         tk = self.tokenizer
         is_fragment = self.fragment_context is not None
         stack = self.stack
+        frag_foreign = (is_fragment and self.fragment_context.ns != HTML_NS)
         while not self.stopped:
             # fast path: CDATA is only possible when the adjusted current
             # node is foreign — skip the full check for plain HTML stacks
@@ -170,6 +172,11 @@ class TreeBuilder:
                 tk.allow_cdata = self._allow_cdata()
             else:
                 tk.allow_cdata = False
+            # while ANY foreign element is open (not just the top), a popped
+            # end tag can re-enter raw foreign context and re-enable CDATA —
+            # tokenizer run-ahead must then be one token at a time
+            tk.single_step = (frag_foreign
+                              or any(el.ns != HTML_NS for el in stack))
             done = False
             for token in tk.drain():
                 self._cur_token = token
@@ -524,6 +531,15 @@ class TreeBuilder:
                 self.mode = IN_TABLE
                 return
             if name == "template":
+                if not self.template_modes:
+                    # a FOREIGN element named template (e.g. <math template>)
+                    # with no HTML template open: parse5 reads
+                    # tmplInsertionModeStack[0] of an empty array and sets
+                    # insertionMode=undefined — subsequent HTML-context
+                    # tokens silently match no case (foreign-content
+                    # dispatch still runs). Mirror with a drop-all mode.
+                    self.mode = IN_UNDEFINED
+                    return
                 self.mode = self.template_modes[-1]
                 return
             if name == "head" and not last:
@@ -1373,18 +1389,7 @@ class TreeBuilder:
             self._err("unexpected-end-tag-treated-as")
             self._in_body_start((START, "br", [], False, token[-2], token[-1]))
             return
-        # any other end tag
-        for i in range(len(self.stack) - 1, -1, -1):
-            node = self.stack[i]
-            if node.ns == HTML_NS and node.name == name:
-                self._generate_implied_end(exclude=name)
-                if self.current is not node:
-                    self._err("unexpected-end-tag")
-                self._pop_until_element(node)
-                return
-            if is_special(node):
-                self._err("unexpected-end-tag")
-                return
+        self._in_body_any_other_end(token)
 
     # --------------------------------------------------- adoption agency
 
@@ -1495,7 +1500,10 @@ class TreeBuilder:
         name = token[1]
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
-            if node.ns == HTML_NS and node.name == name:
+            # parse5 matches by tag id with NO namespace filter
+            # (genericEndTagInBody, parser/index.js:2287-2304): an
+            # </title> end tag closes through to an <svg title>
+            if node.name == name:
                 self._generate_implied_end(exclude=name)
                 if self.current is not node:
                     self._err("unexpected-end-tag")
@@ -2083,6 +2091,11 @@ class TreeBuilder:
 
     # ----------------------------------------------------- mode: in template
 
+    def _m_undefined(self, token: tuple) -> None:
+        """parse5's insertionMode=undefined: every HTML-context token falls
+        through a JS switch with no matching case — dropped silently."""
+        return
+
     def _m_in_template(self, token: tuple) -> None:
         kind = token[0]
         if kind in (CHARS, COMMENT, DOCTYPE):
@@ -2090,7 +2103,11 @@ class TreeBuilder:
             return
         if kind == START:
             name = token[1]
-            if name in _IN_HEAD_START:
+            # parse5's no-mode-change group excludes noscript
+            # (startTagInTemplate, parser/index.js) — a noscript start falls
+            # to the IN_BODY default and inserts generically when scripting
+            # is disabled
+            if name in _IN_HEAD_START and name != "noscript":
                 self._m_in_head(token)
                 return
             if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
@@ -2342,6 +2359,7 @@ _MODE_HANDLERS = {
     IN_SELECT: TreeBuilder._m_in_select,
     IN_SELECT_IN_TABLE: TreeBuilder._m_in_select_in_table,
     IN_TEMPLATE: TreeBuilder._m_in_template,
+    IN_UNDEFINED: TreeBuilder._m_undefined,
     AFTER_BODY: TreeBuilder._m_after_body,
     IN_FRAMESET: TreeBuilder._m_in_frameset,
     AFTER_FRAMESET: TreeBuilder._m_after_frameset,
