@@ -130,7 +130,10 @@ _SCOPE_BASE_HTML = frozenset(["applet", "caption", "html", "table", "td",
 SCOPE_DEFAULT = (_SCOPE_BASE_HTML, SPECIAL_MATHML, SPECIAL_SVG)
 SCOPE_LIST_ITEM = (_SCOPE_BASE_HTML | {"ol", "ul"}, SPECIAL_MATHML, SPECIAL_SVG)
 SCOPE_BUTTON = (_SCOPE_BASE_HTML | {"button"}, SPECIAL_MATHML, SPECIAL_SVG)
-SCOPE_TABLE = (frozenset(["html", "table", "template"]), frozenset(), frozenset())
+# parse5's hasInTableScope terminates ONLY at table/html — template is NOT
+# a table-scope barrier there (open-element-stack.js:250-266), unlike the
+# spec list; the clear-back-to-*-context sets DO stop at template
+SCOPE_TABLE = (frozenset(["html", "table"]), frozenset(), frozenset())
 
 WS_CHARS = "\t\n\f\r "
 

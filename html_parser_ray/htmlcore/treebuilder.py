@@ -1902,10 +1902,12 @@ class TreeBuilder:
                 self._process(token)
                 return
             if name in ("tbody", "tfoot", "thead"):
-                if not self._has_in_scope(name, SCOPE_TABLE):
+                # parse5 also proceeds when only a TR is in table scope
+                # (endTagInRow: hasInTableScope(tid) || hasInTableScope(TR))
+                # — the spec would ignore without the named section open
+                if not (self._has_in_scope(name, SCOPE_TABLE)
+                        or self._has_in_scope("tr", SCOPE_TABLE)):
                     self._err("unexpected-end-tag")
-                    return
-                if not self._has_in_scope("tr", SCOPE_TABLE):
                     return
                 self._clear_stack_to_table_row_context()
                 self._pop()
