@@ -202,7 +202,15 @@ class TreeBuilder:
 
     @property
     def current(self) -> Element:
-        return self.stack[-1]
+        if self.stack:
+            return self.stack[-1]
+        # fully drained stack (namespace-free pop-until with no HTML match,
+        # mirroring parse5 popUntilTagNamePopped -> shortenToLength(0)):
+        # parse5 attaches to `this.document` (parser/index.js
+        # _attachElementToTree `parent ?? this.document`) — for fragments
+        # that is the hidden context document, so the node drops out of the
+        # fragment output; for documents it lands beside <html>
+        return self.doc  # type: ignore[return-value]
 
     def _adjusted_current(self) -> Element | None:
         if not self.stack:
@@ -557,6 +565,10 @@ class TreeBuilder:
             if last:
                 self.mode = IN_BODY
                 return
+        # emptied stack (a namespace-free pop-until drained it, parse5
+        # popUntilTagNamePopped → shortenToLength(0)): parse5 falls through
+        # to IN_BODY (parser/index.js:629)
+        self.mode = IN_BODY
 
     # ------------------------------------------------------------ dispatcher
 
