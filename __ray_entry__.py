@@ -3,12 +3,17 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-Queries cover the engine surface per SURVEY.md §2: the HTML extraction
-pipeline (wrap documents.text in deterministic escaped HTML → ExtractStage →
-byte-exact text vs a SQL normalization oracle), extraction rollups,
-dedup family (exact / MinHash-LSH / SimHash / embedding-cosine), similarity
-search (brute-force + IVF top-k), and text analysis (tokens, fingerprints,
-language-ID, quality features). Column names match the SQL aliases exactly.
+27 queries cover the engine surface per SURVEY.md §2.11: the HTML
+extraction pipeline (wrap documents.text in deterministic escaped HTML →
+ExtractStage → byte-exact text vs a SQL normalization oracle), extraction
+rollups, derived outputs (outline / serialize / visible-token stream /
+chunks / patch planning), dedup family (exact / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + IVF top-k), text
+analysis (tokens, fingerprints, language-ID, quality), deterministic
+sampling, session + tumbling windows, multimodal feature stages, and the
+generic columnar path. 22 have value-checked DuckDB oracles; the rest are
+rows-only (non-SQL-expressible). Column names match the SQL aliases
+exactly (the driver sorts columns by name before hashing values).
 """
 
 from __future__ import annotations
