@@ -1409,17 +1409,20 @@ class TreeBuilder:
         subject = token[1]
         cur = self.current
         if cur.ns == HTML_NS and cur.name == subject:
-            if not any(e is not _MARKER and e[0] is cur for e in self.afe):
-                self._pop()
-                return
-            # well-nested common case: the formatting element is the current
-            # node, its AFE entry is the latest for this name, and no
-            # special element sits above it — first AAA iteration reduces
-            # to pop + AFE removal
+            # parse5 consults the AFE FIRST (aaObtainFormattingElementEntry):
+            # a stale entry (element no longer on the stack, e.g. evicted by
+            # an earlier AAA) is removed WITHOUT popping the current node.
             entry = self._afe_find(subject)
             if entry is not None and entry[0] is cur:
+                # well-nested common case: fmt element is the current node →
+                # first AAA iteration has no furthest block → pop + remove
                 self._pop()
                 self._afe_remove_element(cur)
+                return
+            if entry is None:
+                # no AFE entry → genericEndTagInBody, which pops the
+                # matching current node
+                self._in_body_any_other_end(token)
                 return
         for _ in range(8):
             entry = self._afe_find(subject)
@@ -1431,7 +1434,9 @@ class TreeBuilder:
                 self._err("adoption-agency-1.2")
                 self._afe_remove_element(fmt_el)
                 return
-            if not self._has_element_in_scope(fmt_el):
+            # parse5 checks the TAG in scope, not the entry's element
+            # (aaObtainFormattingElementEntry: hasInScope(token.tagID))
+            if not self._has_in_scope(subject):
                 self._err("adoption-agency-4.4")
                 return
             if fmt_el is not self.current:
