@@ -62,6 +62,7 @@ _MARKER = object()  # active-formatting-elements marker
 import re as _re
 _SEG_RE = _re.compile(r"[\t\n\f\r ]+|[^\t\n\f\r ]+")
 
+_NUL_RUN = _re.compile("\x00+")
 _IN_HEAD_START = frozenset(["base", "basefont", "bgsound", "link", "meta",
                             "noframes", "script", "style", "template",
                             "title", "noscript"])
@@ -624,7 +625,10 @@ class TreeBuilder:
             data = token[1]
             if "\x00" in data:
                 self._err("unexpected-null-character")
-                data = data.replace("\x00", "�")
+                # parse5 batches consecutive NULs into ONE NULL_CHARACTER
+                # token and replaces the whole token with a single U+FFFD
+                # (nullCharacterInForeignContent, parser/index.js:3249)
+                data = _NUL_RUN.sub("�", data)
             if self.ignore_next_lf:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
