@@ -114,6 +114,7 @@ class TreeBuilder:
         self.stopped = False
         self.ignore_next_lf = False
         self._cur_token: tuple | None = None
+        self._end_tagged: set[int] = set()  # id(el) with explicit end tags
 
     # ---------------------------------------------------------------- parsing
 
@@ -362,10 +363,19 @@ class TreeBuilder:
             return
         if tok[0] == END and tok[1] == el.name:
             el.end = tok[-1]
+            self._end_tagged.add(id(el))
         elif tok[0] == EOF:
             el.end = self.tokenizer.n
         else:
             el.end = tok[-2] if len(tok) >= 3 else el.end
+
+    def _remove_from_stack(self, el: Element) -> None:
+        """parse5 OpenElementStack.remove fires onItemPop → end location is
+        recorded for mid-stack removals too (open-element-stack.js:160-172)."""
+        if el in self.stack:
+            if self.capture_spans:
+                self._set_end_location(el)
+            self.stack.remove(el)
 
     def _pop_until_name(self, names) -> None:
         if isinstance(names, str):
@@ -956,7 +966,7 @@ class TreeBuilder:
                 self.stack.append(self.head_el)
                 self._m_in_head(token)
                 try:
-                    self.stack.remove(self.head_el)
+                    self._remove_from_stack(self.head_el)
                 except ValueError:
                     pass
                 return
@@ -1152,8 +1162,7 @@ class TreeBuilder:
                 self._adoption_agency(("</>", "a", token[-2], token[-1]))
                 if el in [e[0] for e in self.afe if e is not _MARKER]:
                     self._afe_remove_element(el)
-                if el in self.stack:
-                    self.stack.remove(el)
+                self._remove_from_stack(el)
             self._reconstruct_afe()
             el = self._insert_element(token)
             self._afe_push(el, token)
@@ -1311,6 +1320,7 @@ class TreeBuilder:
                 for el in self.stack:
                     if el.name == "body" and el.ns == HTML_NS:
                         el.end = token[-1]
+                        self._end_tagged.add(id(el))
                         break
             return
         if name == "html":
@@ -1339,10 +1349,7 @@ class TreeBuilder:
                 self._generate_implied_end()
                 if self.current is not node:
                     self._err("end-tag-too-early-ignored")
-                if node in self.stack:
-                    if self.capture_spans:
-                        self._set_end_location(node)
-                    self.stack.remove(node)
+                self._remove_from_stack(node)
             else:
                 if not self._has_in_scope("form"):
                     self._err("unexpected-end-tag")
@@ -1481,11 +1488,11 @@ class TreeBuilder:
                         bookmark -= 1
                     node_entry = None
                 if node_entry is None:
-                    self.stack.remove(node)
+                    self._remove_from_stack(node)
                     continue
-                clone = Element(node.name, node.ns, list(node.attrs),
-                                node.start, node.end,
-                                list(node.attr_spans) if node.attr_spans else None)
+                # parse5 AAA clones carry NO source location
+                # (aaRecreateElementFromEntry uses bare createElement)
+                clone = Element(node.name, node.ns, list(node.attrs))
                 node_entry[0] = clone
                 self.stack[self.stack.index(node)] = clone
                 node = clone
@@ -1504,9 +1511,7 @@ class TreeBuilder:
                 self._insert_at(place, last_node)
             else:
                 self._append(common_ancestor, last_node)
-            clone = Element(fmt_el.name, fmt_el.ns, list(fmt_el.attrs),
-                            fmt_el.start, fmt_el.end,
-                            list(fmt_el.attr_spans) if fmt_el.attr_spans else None)
+            clone = Element(fmt_el.name, fmt_el.ns, list(fmt_el.attrs))
             for child in list(furthest.children):
                 self._detach(child)
                 self._append(clone, child)
@@ -1514,7 +1519,7 @@ class TreeBuilder:
             self._afe_remove_element(fmt_el)
             idx = min(bookmark, len(self.afe))
             self.afe.insert(idx, [clone, entry[1]])
-            self.stack.remove(fmt_el)
+            self._remove_from_stack(fmt_el)
             self.stack.insert(self.stack.index(furthest) + 1, clone)
 
     def _in_body_any_other_end(self, token: tuple) -> None:
@@ -2201,6 +2206,7 @@ class TreeBuilder:
             self.mode = AFTER_AFTER_BODY
             if self.capture_spans:
                 self.stack[0].end = token[-1]
+                self._end_tagged.add(id(self.stack[0]))
             return
         if kind == EOF:
             self._stop_parsing()
@@ -2356,10 +2362,25 @@ class TreeBuilder:
     def _stop_parsing(self) -> None:
         self.stopped = True
         if self.capture_spans:
+            # mirror parse5 stopParsing: overwrite end locations for every
+            # element still open (implied closes end at EOF), except html /
+            # body whose explicit </html> / </body> end tags were recorded
             n = self.tokenizer.n
-            for el in self.stack:
-                if el.start >= 0 and el.end < 0:
+            target = 0 if self.fragment_context is not None else 2
+            for i in range(len(self.stack) - 1, target - 1, -1):
+                el = self.stack[i]
+                if el.start >= 0:
                     el.end = n
+            if self.fragment_context is None and self.stack:
+                html_el = self.stack[0]
+                if id(html_el) not in self._end_tagged:
+                    if html_el.start >= 0:
+                        html_el.end = n
+                    if len(self.stack) > 1:
+                        body_el = self.stack[1]
+                        if (id(body_el) not in self._end_tagged
+                                and body_el.start >= 0):
+                            body_el.end = n
         self.stack.clear()
 
 

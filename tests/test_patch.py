@@ -146,3 +146,41 @@ def test_apply_patch_plan_validates_bounds():
     with pytest.raises(ValueError):
         apply_patch_plan("abc", {"steps": [
             {"kind": "insert", "at": 2, "text": "x"}], "result": ""})
+
+
+# ---------------------------------------------------------------------------
+# span location parity (differential-validated vs parse5 sourceCodeLocation
+# via tools/ref_oracle/span_oracle.mjs; the two known residual divergence
+# classes are unclosed-rawtext-to-EOF elements — parse5 records a
+# zero-length span there — and per-segment offsets of charref-bearing text
+# split by the BEFORE_*/table insertion modes)
+
+def test_implied_close_span_extends_to_closing_cause():
+    # <p> closed implicitly by the next <p>: end = start of the closer
+    html = "<div><p>one<p>two</p></div>"
+    tree = parse(html, capture_spans=True)
+    from html_parser_ray.htmlcore.extract import find_all_by_tag_name
+    p1, p2 = list(find_all_by_tag_name(tree, "p"))
+    assert html[p1.start:p1.end] == "<p>one"
+    assert html[p2.start:p2.end] == "<p>two</p>"
+
+
+def test_unclosed_element_span_ends_at_eof():
+    html = "<div><span>tail text"
+    tree = parse(html, capture_spans=True)
+    from html_parser_ray.htmlcore.extract import find_all_by_tag_name
+    span_el = next(find_all_by_tag_name(tree, "span"))
+    assert html[span_el.start:span_el.end] == "<span>tail text"
+
+
+def test_aaa_clone_has_no_span():
+    # <b> cloned into the <p> by the adoption agency carries no source span
+    html = "<b>1<p>2</b>3</p>"
+    tree = parse(html, capture_spans=True)
+    from html_parser_ray.htmlcore.extract import find_all_by_tag_name
+    bs = list(find_all_by_tag_name(tree, "b"))
+    originals = [b for b in bs if b.start >= 0]
+    clones = [b for b in bs if b.start < 0]
+    assert len(originals) == 1 and len(clones) == 1
+    # the original b ends at the matching </b> end tag (parse5 rule)
+    assert html[originals[0].start:originals[0].end] == "<b>1<p>2</b>"
