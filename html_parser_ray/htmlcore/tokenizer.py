@@ -230,6 +230,32 @@ class Tokenizer:
                     break
             c = s[pos]
             if c == "<":
+                # inline fast path for the common no-attribute tags — one
+                # regex + queue append, no _tag_open/_scan_tag frames
+                m = _SIMPLE_TAG.match(s, pos + 1)
+                if m:
+                    name = m.group(1).lower()
+                    end = m.end()
+                    self._flush_text(pos)
+                    self._queue.append((START, name, [], False, pos, end))
+                    self.last_start_tag = name
+                    pos = end
+                    if name in _SWITCH_TAGS or len(self._queue) >= target:
+                        self.pos = pos
+                        return
+                    continue
+                if s.startswith("</", pos):
+                    m = _SIMPLE_TAG.match(s, pos + 2)
+                    if m:
+                        name = m.group(1).lower()
+                        end = m.end()
+                        self._flush_text(pos)
+                        self._queue.append((END, name, pos, end))
+                        pos = end
+                        if len(self._queue) >= target:
+                            self.pos = pos
+                            return
+                        continue
                 self.pos = pos
                 self._tag_open(pos)
                 pos = self.pos
