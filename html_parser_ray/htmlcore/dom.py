@@ -271,15 +271,18 @@ targetY textLength viewBox viewTarget xChannelSelector yChannelSelector
 zoomAndPan
 """.split()}
 
-# foreign (namespaced) attributes -> public "prefix local" form used by the
-# reference facade (reference: src/internal/tree/build.ts:145-152)
+# foreign (namespaced) attributes -> the reference facade's public name.
+# parse5's adjusted attrs carry (prefix, LOCAL name); the reference's
+# formatAttributeName (build.ts:145-152) only emits the "prefix local" form
+# when the name still CONTAINS a colon — never true after adjustment — so
+# the public name is just the local part (xlink:href -> "href").
 FOREIGN_ATTR_ADJUST = {
-    "xlink:actuate": "xlink actuate", "xlink:arcrole": "xlink arcrole",
-    "xlink:href": "xlink href", "xlink:role": "xlink role",
-    "xlink:show": "xlink show", "xlink:title": "xlink title",
-    "xlink:type": "xlink type",
-    "xml:base": "xml base", "xml:lang": "xml lang", "xml:space": "xml space",
-    "xmlns": "xmlns", "xmlns:xlink": "xmlns xlink",
+    "xlink:actuate": "actuate", "xlink:arcrole": "arcrole",
+    "xlink:href": "href", "xlink:role": "role",
+    "xlink:show": "show", "xlink:title": "title",
+    "xlink:type": "type",
+    "xml:base": "base", "xml:lang": "lang", "xml:space": "space",
+    "xmlns": "xmlns", "xmlns:xlink": "xlink",
 }
 
 MATHML_TEXT_INTEGRATION = frozenset(["mi", "mo", "mn", "ms", "mtext"])

@@ -696,22 +696,21 @@ class TreeBuilder:
                 return
             if cur.name.lower() != name:
                 self._err("end-tag-without-matching-open-element")
-            # spec loop: walk down; matching node → pop to it; an HTML-ns
-            # ancestor → reprocess per HTML rules; topmost → ignore
-            i = len(self.stack) - 1
-            while True:
+            # parse5 loop (endTagInForeignContent): walk i from the top DOWN
+            # TO 1 — index 0 (the root) is never examined, so in fragments
+            # an unmatched foreign end tag is silently dropped; an HTML-ns
+            # element at i>0 reprocesses per HTML rules; a name match pops
+            # to that element inclusive
+            for i in range(len(self.stack) - 1, 0, -1):
                 node = self.stack[i]
-                if i == 0:
-                    return
-                if node.name.lower() == name:
-                    while self.stack[-1] is not node:
-                        self._pop()
-                    self._pop()
-                    return
-                i -= 1
-                if self.stack[i].ns == HTML_NS:
+                if node.ns == HTML_NS:
                     self._process(token)
                     return
+                if node.name.lower() == name:
+                    while len(self.stack) > i:
+                        self._pop()
+                    return
+            return
 
     # ---------------------------------------------------------- mode: initial
 
