@@ -70,6 +70,16 @@ _DOCTYPE_NAME_RUN = re.compile(r"[^\t\n\f >]+")
 
 _CR = re.compile(r"\r\n?")
 
+# spec case folding is ASCII-only: <pathß ÅÉ> keeps its non-ASCII chars
+# verbatim (Python str.lower() would unicode-fold them)
+_ASCII_LOWER_TABLE = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
+
+
+def _ascii_lower(value: str) -> str:
+    if value.isascii():
+        return value.lower()
+    return value.translate(_ASCII_LOWER_TABLE)
+
 # start tags after which the tree builder may switch the tokenizer state
 # (rawtext/RCDATA/script/plaintext) or enter foreign content (CDATA gating)
 _SWITCH_TAGS = frozenset([
@@ -609,7 +619,7 @@ class Tokenizer:
         if "\x00" in name:
             self._err("unexpected-null-character", pos)
             name = name.replace("\x00", "�")
-        name = name.lower()
+        name = _ascii_lower(name)
 
         attrs: list[tuple[str, str, int, int]] = []
         seen: set[str] = set()
@@ -673,7 +683,7 @@ class Tokenizer:
                 aname = aname.replace("\x00", "�")
             if '"' in aname or "'" in aname or "<" in aname:
                 self._err("unexpected-character-in-attribute-name", pos)
-            aname = aname.lower()
+            aname = _ascii_lower(aname)
             # after attribute name: ws* then '=', or next attr / close
             ws_end = pos
             while ws_end < n and s[ws_end] in _WS:
