@@ -11,9 +11,11 @@ chunks / patch planning), dedup family (exact / MinHash-LSH / SimHash /
 embedding-cosine), similarity search (brute-force + IVF top-k), text
 analysis (tokens, fingerprints, language-ID, quality), deterministic
 sampling, session + tumbling windows, multimodal feature stages, and the
-generic columnar path. 22 have value-checked DuckDB oracles; the rest are
-rows-only (non-SQL-expressible). Column names match the SQL aliases
-exactly (the driver sorts columns by name before hashing values).
+generic columnar path. 25 of 27 have value-checked DuckDB oracles; only
+the two simhash queries are rows-only (blake2b signatures are not
+SQL-expressible). Column names match the SQL aliases exactly (the driver
+sorts columns by name before hashing values), and aggregate sums are CAST
+to BIGINT so DuckDB's HUGEINT does not change the comparison dtype.
 """
 
 from __future__ import annotations
@@ -183,9 +185,19 @@ def q_simhash(sf_dir: str):
 
 
 def q_minhash_neardup_pairs(sf_dir: str):
+    """Project to the pair ids: the synthetic corpus plants its near-dups
+    as `text + (' dup')+` clones (measured real Jaccard >= 0.90, minhash
+    estimate >= 0.92 at sf0.01 — comfortably above the 0.8 threshold, and
+    LSH miss probability for J=0.9 at 16 bands x 4 rows is ~3e-8), so the
+    expected pair SET is SQL-derivable from the suffix relation while the
+    minhash estimate value itself is not."""
     from html_parser_ray.functions.dedup import minhash_dedup_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds)
+    pairs = minhash_dedup_pairs(ds)
+    return pairs.map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"),
+                            "doc_b": b.column("doc_b")}),
+        batch_format="pyarrow")
 
 
 def q_embedding_neardup_pairs(sf_dir: str):
@@ -306,8 +318,9 @@ def q_visible_tokens(sf_dir: str):
 
 
 def q_chunks(sf_dir: str):
-    """Size-bounded chunk splits (M17) — rows-only check (content equals
-    the serialized page, already value-checked by serialize_roundtrip)."""
+    """Size-bounded chunk splits (M17). The deterministic wrap has one
+    top-level child, so every page yields exactly one chunk whose node
+    count and content length are SQL-derivable."""
     from html_parser_ray.stages.derive import ChunkStage
 
     def run(batch: pa.Table) -> pa.Table:
@@ -533,9 +546,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_visible_text": (
             f"SELECT doc_id, {_TEXT_OUT_SQL} AS text_out FROM documents"
         ),
+        # CAST: DuckDB SUM yields HUGEINT (→ float64 in the compare frame);
+        # the engine emits int64 — same values, different hash without it
         "extract_rollup_by_lang": (
             f"SELECT lang, COUNT(*) AS docs, "
-            f"SUM(LENGTH({_TEXT_OUT_SQL})) AS text_chars "
+            f"CAST(SUM(LENGTH({_TEXT_OUT_SQL})) AS BIGINT) AS text_chars "
             f"FROM documents GROUP BY lang"
         ),
         "exact_dedup": (
@@ -573,6 +588,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, "
             "10000 AS cosine_bp FROM embeddings"
         ),
+        # the synthetic corpus's planted near-dups are `text || (' dup')+`
+        # clones (incl. one dup-of-dup chain) — the pair set is the
+        # suffix-relation closure; see q_minhash_neardup_pairs docstring
+        "minhash_neardup_pairs": (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE (LENGTH(a.text) < LENGTH(b.text) "
+            " AND a.text = substr(b.text, 1, LENGTH(a.text)) "
+            " AND regexp_full_match(substr(b.text, LENGTH(a.text) + 1), "
+            "     '( dup)+')) "
+            "OR (LENGTH(b.text) < LENGTH(a.text) "
+            " AND b.text = substr(a.text, 1, LENGTH(b.text)) "
+            " AND regexp_full_match(substr(a.text, LENGTH(b.text) + 1), "
+            "     '( dup)+'))"
+        ),
         # simhash_neardup_pairs: no SQL oracle — the synthetic corpus
         # contains genuine simhash collisions (identical 64-bit signatures
         # for distinct same-vocabulary docs), which SQL cannot reproduce.
@@ -605,6 +635,82 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             f"SELECT doc_id, 2, 'text', {_NORM_SQL} "
             f"FROM documents WHERE {_NORM_SQL} <> ''"
+        ),
+        "chunks": (
+            "SELECT doc_id, 0 AS chunk_index, "
+            "10 + CASE WHEN text <> '' THEN 1 ELSE 0 END AS nodes, "
+            "LENGTH('<html><head><meta charset=\"utf-8\"><title>d</title>"
+            "</head><body><article><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+            "'</h1><p>' || "
+            "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+            "'>', '&gt;') || "
+            "'</p></article></body></html>') AS n_content_chars "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, "
+            "LENGTH(text) AS n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS n_bpe_tokens, "
+            "LENGTH(text) - LENGTH(replace(text, chr(10), '')) + 1 "
+            "AS n_lines, "
+            "CASE WHEN LENGTH(text) = 0 THEN 0 ELSE "
+            "((LENGTH(text) - LENGTH(regexp_replace(text, "
+            "'[.,;:!?()\\[\\]{}\"''`]', '', 'g'))) * 20000 + LENGTH(text)) "
+            "// (2 * LENGTH(text)) END AS punct_ratio_bp, "
+            "CASE WHEN LENGTH(text) = 0 THEN 0 ELSE "
+            "((LENGTH(text) - LENGTH(regexp_replace(text, '\\p{L}', '', "
+            "'g'))) * 20000 + LENGTH(text)) // (2 * LENGTH(text)) END "
+            "AS alpha_ratio_bp, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            "w -> list_contains(['the','a','of','and','to','in','is','it',"
+            "'that','for'], lower(w)))) * 20000 + "
+            "len(string_split_regex(trim(text), '\\s+'))) // "
+            "(2 * len(string_split_regex(trim(text), '\\s+'))) END "
+            "AS stopword_ratio_bp "
+            "FROM documents"
+        ),
+        # langid: the full detect_lang heuristic (script-range counts over
+        # the first 2000 chars, then first-lang-attaining-max stopword
+        # hits) re-expressed in SQL — lang order en,de,fr,es with strict
+        # ties-to-earlier matches the Python loop exactly
+        "langid": (
+            "WITH c AS (SELECT doc_id, lang AS lang_true, "
+            "substr(text, 1, 2000) AS t2 FROM documents), "
+            "k AS (SELECT doc_id, lang_true, t2, "
+            "LENGTH(t2) - LENGTH(regexp_replace(t2, "
+            "'[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS cjk, "
+            "LENGTH(t2) - LENGTH(regexp_replace(t2, "
+            "'[\\x{0600}-\\x{06FF}]', '', 'g')) AS arabic, "
+            "LENGTH(t2) - LENGTH(regexp_replace(t2, "
+            "'[\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr, "
+            "LENGTH(t2) - LENGTH(regexp_replace(t2, '[A-z]', '', 'g')) "
+            "AS latin FROM c), "
+            "w AS (SELECT *, cjk + arabic + cyr + latin AS total, "
+            "string_split_regex(lower(t2), '\\s+') AS words FROM k), "
+            "h AS (SELECT *, "
+            "len(list_filter(['the','a','of','and','to','in','is','it',"
+            "'that','for'], s -> list_contains(words, s))) AS hits_en, "
+            "len(list_filter(['der','die','das','und','ist','ein','nicht',"
+            "'mit','den'], s -> list_contains(words, s))) AS hits_de, "
+            "len(list_filter(['le','la','les','de','et','un','une','est',"
+            "'pour','que'], s -> list_contains(words, s))) AS hits_fr, "
+            "len(list_filter(['el','la','los','de','y','un','una','es',"
+            "'para','que'], s -> list_contains(words, s))) AS hits_es "
+            "FROM w) "
+            "SELECT doc_id, "
+            "CASE WHEN total = 0 THEN 'und' "
+            "WHEN cjk * 4 > total THEN 'zh' "
+            "WHEN arabic * 4 > total THEN 'ar' "
+            "WHEN cyr * 4 > total THEN 'ru' "
+            "WHEN hits_en >= hits_de AND hits_en >= hits_fr "
+            "AND hits_en >= hits_es THEN 'en' "
+            "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
+            "WHEN hits_fr >= hits_es THEN 'fr' "
+            "ELSE 'es' END AS lang_pred, lang_true FROM h"
         ),
         "patch_edit": (
             "SELECT doc_id, "
@@ -646,7 +752,8 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT *, SUM(brk) OVER (PARTITION BY user_id "
             "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS "
             "    session_idx FROM ordered) "
-            "SELECT user_id, session_idx, MIN(ts) AS session_start, "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, COUNT(*) AS n_events, "
             "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
             "FROM sess GROUP BY user_id, session_idx"
@@ -669,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
             "sum_price_cents, COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        # langid / simhash / minhash_neardup_pairs / quality_scores are
-        # non-SQL-expressible → rows-only checks
+        # simhash / simhash_neardup_pairs are the only rows-only checks
+        # left: blake2b-per-token 64-bit signatures are not reproducible in
+        # DuckDB SQL, and the corpus contains genuine signature collisions
+        # (value-tested in tests/test_ray_pipeline.py instead)
     }

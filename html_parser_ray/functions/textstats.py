@@ -102,23 +102,38 @@ def detect_lang(text: str) -> str:
 _PUNCT = set(".,;:!?()[]{}\"'`")
 
 
-def quality_features(text: str) -> tuple[int, int, int, int, float, float, float]:
-    """(n_chars, n_ws_tokens, n_bpe_tokens, n_lines, punct_ratio,
-    alpha_ratio, stopword_ratio)"""
+def quality_counts(text: str) -> tuple[int, int, int, int, int, int, int]:
+    """(n_chars, n_ws_tokens, n_bpe_tokens, n_lines, punct_count,
+    alpha_count, stopword_hits) — all integers, so downstream ratio
+    scaling can stay in exact integer arithmetic (SQL-oracle-stable)."""
     n_chars = len(text)
     tokens = _WS_SPLIT.split(text.strip()) if text.strip() else []
     n_tokens = len(tokens)
     n_lines = text.count("\n") + 1
-    if n_chars:
-        punct = sum(1 for c in text if c in _PUNCT) / n_chars
-        alpha = sum(1 for c in text if c.isalpha()) / n_chars
-    else:
-        punct = alpha = 0.0
+    punct = sum(1 for c in text if c in _PUNCT)
+    alpha = sum(1 for c in text if c.isalpha())
     stops = _STOPWORDS["en"]
-    stop_ratio = (sum(1 for t in tokens if t.lower() in stops) / n_tokens
-                  if n_tokens else 0.0)
+    stop_hits = sum(1 for t in tokens if t.lower() in stops)
     return (n_chars, n_tokens, bpe_ish_token_count(text), n_lines,
-            punct, alpha, stop_ratio)
+            punct, alpha, stop_hits)
+
+
+def quality_features(text: str) -> tuple[int, int, int, int, float, float, float]:
+    """(n_chars, n_ws_tokens, n_bpe_tokens, n_lines, punct_ratio,
+    alpha_ratio, stopword_ratio)"""
+    n_chars, n_tokens, n_bpe, n_lines, punct, alpha, stop_hits = \
+        quality_counts(text)
+    return (n_chars, n_tokens, n_bpe, n_lines,
+            punct / n_chars if n_chars else 0.0,
+            alpha / n_chars if n_chars else 0.0,
+            stop_hits / n_tokens if n_tokens else 0.0)
+
+
+def _ratio_bp(num: int, den: int) -> int:
+    """round-half-up basis points via exact integer arithmetic — identical
+    in Python and DuckDB (`(num*20000 + den) // (2*den)`), unlike float
+    round() whose half-even ties can differ across engines."""
+    return (num * 20_000 + den) // (2 * den) if den else 0
 
 
 # ---------------------------------------------------------------------------
@@ -153,17 +168,20 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
-    feats = [quality_features(t) for t in texts]
+    feats = [quality_counts(t) for t in texts]
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array([f[0] for f in feats], pa.int64()),
         "n_ws_tokens": pa.array([f[1] for f in feats], pa.int64()),
         "n_bpe_tokens": pa.array([f[2] for f in feats], pa.int64()),
         "n_lines": pa.array([f[3] for f in feats], pa.int64()),
-        # scaled to int to keep the DuckDB oracle hash-stable
-        "punct_ratio_bp": pa.array([int(round(f[4] * 10_000)) for f in feats], pa.int64()),
-        "alpha_ratio_bp": pa.array([int(round(f[5] * 10_000)) for f in feats], pa.int64()),
-        "stopword_ratio_bp": pa.array([int(round(f[6] * 10_000)) for f in feats], pa.int64()),
+        # basis points via exact integer arithmetic (DuckDB-oracle-stable)
+        "punct_ratio_bp": pa.array(
+            [_ratio_bp(f[4], f[0]) for f in feats], pa.int64()),
+        "alpha_ratio_bp": pa.array(
+            [_ratio_bp(f[5], f[0]) for f in feats], pa.int64()),
+        "stopword_ratio_bp": pa.array(
+            [_ratio_bp(f[6], f[1]) for f in feats], pa.int64()),
     })
 
 

@@ -202,25 +202,25 @@ def _record_tree_budget_errors(children: list, budgets: Budgets | None,
         return
     count = [0]
 
+    def budget_error(code: str) -> ParseError:
+        # codes match the WHATWG id pattern, so normalization emits them
+        # bare — like the reference's normalizeParseErrorId (mod.ts:260-269)
+        return ParseError("PARSER_ERROR", normalize_parse_error_id(code), code)
+
     def visit(node, depth: int) -> None:
         if isinstance(node, Element):
             if max_attrs is not None and len(node.attrs) > max_attrs:
-                errors.append(ParseError(
-                    "PARSER_ERROR", "vendor:max-attributes-per-element-exceeded",
-                    "max-attributes-per-element-exceeded"))
+                errors.append(
+                    budget_error("max-attributes-per-element-exceeded"))
             if max_attr_bytes is not None:
                 total = sum(len(n) + len(v) for n, v in node.attrs)
                 if total > max_attr_bytes:
-                    errors.append(ParseError(
-                        "PARSER_ERROR", "vendor:max-attribute-bytes-exceeded",
-                        "max-attribute-bytes-exceeded"))
+                    errors.append(budget_error("max-attribute-bytes-exceeded"))
         count[0] += 1
         if max_depth is not None and depth > max_depth:
-            errors.append(ParseError(
-                "PARSER_ERROR", "vendor:max-depth-exceeded", "max-depth-exceeded"))
+            errors.append(budget_error("max-depth-exceeded"))
         if max_nodes is not None and count[0] > max_nodes:
-            errors.append(ParseError(
-                "PARSER_ERROR", "vendor:max-nodes-exceeded", "max-nodes-exceeded"))
+            errors.append(budget_error("max-nodes-exceeded"))
         if isinstance(node, Element):
             for child in node.children:
                 visit(child, depth + 1)
@@ -232,6 +232,25 @@ def _record_tree_budget_errors(children: list, budgets: Budgets | None,
 def _enforce(budget: str, limit: int | None, actual: int) -> None:
     if limit is not None and actual > limit:
         raise BudgetExceededError(budget, limit, actual)
+
+
+def _enforce_time(budgets: Budgets | None, start: float | None) -> None:
+    """Soft maxTimeMs check after parsing, matching the reference's
+    post-parse elapsed checks (mod.ts:545-546, :722, :820). Wall-clock is
+    consulted only when the budget is set, so default pipeline output
+    stays deterministic."""
+    if budgets is None or budgets.max_time_ms is None or start is None:
+        return
+    import time
+    elapsed_ms = int((time.monotonic() - start) * 1000)
+    _enforce("maxTimeMs", budgets.max_time_ms, elapsed_ms)
+
+
+def _time_budget_start(budgets: Budgets | None) -> float | None:
+    if budgets is None or budgets.max_time_ms is None:
+        return None
+    import time
+    return time.monotonic()
 
 
 def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
@@ -251,6 +270,7 @@ def parse(html: str, *, scripting_enabled: bool = True,
           trace: bool = False) -> ParseTree:
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
+    time_start = _time_budget_start(budgets)
     text, _removed = normalize_newlines(html)
     sink = None
     if trace:
@@ -270,6 +290,7 @@ def parse(html: str, *, scripting_enabled: bool = True,
     n_nodes, max_depth = _compute_metrics(doc.children)
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
+    _enforce_time(budgets, time_start)
     trace_events = None
     if sink is not None:
         sink.push("token", count=getattr(builder, "_token_count", 0))
@@ -286,9 +307,11 @@ def parse_bytes(data: bytes, *, transport_encoding_label: str | None = None,
                 trace: bool = False) -> ParseTree:
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(data))
+    time_start = _time_budget_start(budgets)
     text, sniff = decode_html_bytes(data, transport_encoding_label)
     tree = parse(text, scripting_enabled=scripting_enabled,
                  capture_spans=capture_spans, budgets=budgets, trace=trace)
+    _enforce_time(budgets, time_start)  # decode + parse (mod.ts:722)
     tree.encoding = sniff  # type: ignore[attr-defined]
     if trace and tree.trace is not None:
         # decode trace appended after parse, as the reference does
@@ -349,6 +372,7 @@ def parse_fragment(html: str, context_tag_name: str, *,
         raise ValueError("contextTagName must be a non-empty tag name")
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
+    time_start = _time_budget_start(budgets)
     text, _removed = normalize_newlines(html)
     context = _create_fragment_context(normalized_context)
     if context is None:
@@ -362,5 +386,6 @@ def parse_fragment(html: str, context_tag_name: str, *,
     n_nodes, max_depth = _compute_metrics(frag.children)
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
+    _enforce_time(budgets, time_start)  # mod.ts:820
     return ParseTree("fragment", 1, frag.children, errors, "no-quirks",
                      n_nodes, max_depth, normalized_context, text)

@@ -23,10 +23,57 @@ import codecs
 from collections.abc import Iterable
 
 from .api import Budgets, BudgetExceededError, ParseTree, parse
-from .sniff import PRESCAN_BYTES_DEFAULT, SniffResult, sniff_html_encoding
+from .sniff import (PRESCAN_BYTES_DEFAULT, SniffResult, sniff_html_encoding,
+                    _CP1252_TRANSLATE, _PY_CODECS, _XUD_TRANSLATE)
 
 _BOMS = {"utf-8": b"\xef\xbb\xbf", "utf-16le": b"\xff\xfe",
          "utf-16be": b"\xfe\xff"}
+
+
+class _TranslateIncrementalDecoder:
+    """Incremental decoder for the WHATWG single-byte paths that have no
+    exact Python codec: latin-1 per chunk (stateless) + a translate table
+    — byte-for-byte identical to ``sniff.decode_bytes``."""
+
+    def __init__(self, table: dict[int, str]):
+        self._table = table
+
+    def decode(self, data: bytes, final: bool = False) -> str:
+        return data.decode("latin-1").translate(self._table)
+
+
+class _ReplacementIncrementalDecoder:
+    """WHATWG 'replacement' encoding: the whole (non-empty) stream decodes
+    to a single U+FFFD."""
+
+    def __init__(self):
+        self._emitted = False
+
+    def decode(self, data: bytes, final: bool = False) -> str:
+        if data and not self._emitted:
+            self._emitted = True
+            return "�"
+        return ""
+
+
+def _incremental_decoder(encoding: str):
+    """Incremental decoder matching ``sniff.decode_bytes`` for every
+    sniffable WHATWG encoding (the canonical names are NOT all valid
+    Python codec names — windows-874, x-user-defined, iso-8859-8-i,
+    x-mac-cyrillic, replacement — and several need different tables than
+    the eponymous Python codec: windows-1252 C1 bytes, shift_jis→cp932,
+    big5→big5hkscs, euc-kr→cp949)."""
+    if encoding == "windows-1252":
+        return _TranslateIncrementalDecoder(_CP1252_TRANSLATE)
+    if encoding == "x-user-defined":
+        return _TranslateIncrementalDecoder(_XUD_TRANSLATE)
+    if encoding == "replacement":
+        return _ReplacementIncrementalDecoder()
+    codec = _PY_CODECS.get(encoding)
+    if codec is None:
+        # unknown label: decode_bytes falls back to windows-1252 semantics
+        return _TranslateIncrementalDecoder(_CP1252_TRANSLATE)
+    return codecs.getincrementaldecoder(codec)(errors="replace")
 
 
 def decode_stream_to_text(
@@ -57,7 +104,7 @@ def decode_stream_to_text(
         exhausted = True
 
     sniff = sniff_html_encoding(prescan, transport_encoding_label)
-    decoder = codecs.getincrementaldecoder(sniff.encoding)(errors="replace")
+    decoder = _incremental_decoder(sniff.encoding)
 
     # strip the BOM exactly as whole-buffer decode does
     body = prescan
@@ -85,10 +132,13 @@ def parse_stream(
     budgets: Budgets | None = None,
 ) -> ParseTree:
     """Chunked-bytes analog of ``parse_bytes`` — identical output."""
+    from .api import _enforce_time, _time_budget_start
+    time_start = _time_budget_start(budgets)
     text, sniff = decode_stream_to_text(chunks, transport_encoding_label,
                                         budgets)
     tree = parse(text, scripting_enabled=scripting_enabled,
                  capture_spans=capture_spans, budgets=budgets)
+    _enforce_time(budgets, time_start)  # decode + parse (mod.ts:546/722)
     tree.encoding = sniff
     return tree
 

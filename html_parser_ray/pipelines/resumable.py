@@ -46,6 +46,13 @@ def run_resumable_extract(input_path: str, out_dir: str, *,
         extracted = extract_pipeline(pages, concurrency=concurrency,
                                      batch_size=batch_size)
         shard_dir = os.path.join(out_dir, f"shard={shard_id}")
+        # a run preempted between write_parquet and mark_done leaves
+        # partial files; Ray writes uniquely-named files, so re-running
+        # into the same directory would duplicate rows — clear any
+        # incomplete shard output before redoing it
+        if os.path.isdir(shard_dir):
+            import shutil
+            shutil.rmtree(shard_dir)
         extracted.write_parquet(shard_dir)
 
         # lineage counters from the written shard (cheap aggregate re-read)

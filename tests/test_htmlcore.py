@@ -203,6 +203,34 @@ def test_budget_max_depth_raises():
     assert exc_info.value.payload["budget"] == "maxDepth"
 
 
+def test_budget_max_time_ms_enforced():
+    # a 0 ms budget always trips (reference enforces maxTimeMs after
+    # parse/parseBytes/fragment/stream — mod.ts:545/722/820)
+    big = "<p>x</p>" * 20_000  # big enough that elapsed >= 1 ms everywhere
+    with pytest.raises(BudgetExceededError) as exc_info:
+        parse(big, budgets=Budgets(max_time_ms=0))
+    assert exc_info.value.payload["budget"] == "maxTimeMs"
+    with pytest.raises(BudgetExceededError):
+        parse_bytes(big.encode(), budgets=Budgets(max_time_ms=0))
+    with pytest.raises(BudgetExceededError):
+        parse_fragment(big, "div", budgets=Budgets(max_time_ms=0))
+    from html_parser_ray.htmlcore.stream import parse_stream
+    with pytest.raises(BudgetExceededError):
+        parse_stream([big.encode()], budgets=Budgets(max_time_ms=0))
+    # a generous budget does not trip
+    assert parse("<p>x</p>", budgets=Budgets(max_time_ms=60_000)).n_nodes > 0
+
+
+def test_tree_budget_error_ids_are_bare_whatwg_style():
+    # recorded (not raised) tree budgets: ids match the WHATWG pattern so
+    # normalization emits them bare, not vendor:-prefixed (ADVICE r01)
+    tree = parse("<div a='1' b='2' c='3'>x</div>",
+                 budgets=Budgets(max_attributes_per_element=2))
+    ids = [e.parse_error_id for e in tree.errors]
+    assert "max-attributes-per-element-exceeded" in ids
+    assert not any(i.startswith("vendor:max-") for i in ids)
+
+
 # ---------------------------------------------------------------------------
 # visibleText semantics beyond fixtures
 

@@ -121,6 +121,33 @@ def test_resumable_extract_skips_done_shards(ray_session, tmp_path):
     assert len([f for f in manifest_files if f.endswith(".json")]) == 2
 
 
+def test_resumable_extract_replaces_partial_shard_output(ray_session,
+                                                         tmp_path):
+    """A shard preempted after a partial write but before mark_done must be
+    rewritten from scratch on resume — stale files would duplicate rows
+    (ADVICE r01)."""
+    from html_parser_ray.sources.synth import write_pages_parquet
+    from html_parser_ray.pipelines.resumable import run_resumable_extract
+    import pyarrow.parquet as pq
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_pages_parquet(os.path.join(in_dir, "a.parquet"), 30, seed=1)
+    out_dir = str(tmp_path / "out")
+    # simulate the preempted run: shard dir exists with a partial file, no
+    # manifest entry
+    shard_dir = os.path.join(out_dir, "shard=00000")
+    os.makedirs(shard_dir)
+    pq.write_table(pa.table({"url": ["stale://1"], "status": ["ok"],
+                             "n_errors": [0], "quirks_mode": ["no-quirks"]}),
+                   os.path.join(shard_dir, "partial_leftover.parquet"))
+    counters = run_resumable_extract(in_dir, out_dir, files_per_shard=1,
+                                     concurrency=2, batch_size=32)
+    assert counters["docs"] == 30  # not 31 — the stale row is gone
+    total = sum(pq.read_table(os.path.join(shard_dir, f)).num_rows
+                for f in os.listdir(shard_dir) if f.endswith(".parquet"))
+    assert total == 30
+
+
 def test_exact_dedup_dataset(ray_session):
     import ray
     from html_parser_ray.functions.dedup import exact_dedup

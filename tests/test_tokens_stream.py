@@ -129,3 +129,39 @@ def test_tokenize_stream_equals_tokenize():
     from_stream = tokenize_stream(_chunks(data, 5))
     whole = tokenize(data.decode("utf-8"))
     assert from_stream == whole
+
+
+# ---------------------------------------------------------------------------
+# stream decode ≡ parse_bytes for EVERY sniffable WHATWG encoding (the
+# canonical names aren't all Python codec names, and several map to
+# different tables than the eponymous Python codec — regression for the
+# incremental-decoder routing)
+
+_ENCODING_CASES = [
+    # (transport label, payload bytes)
+    ("windows-874", "ไทย thai".encode("cp874")),            # no codec alias
+    ("tis-620", "ไทย thai".encode("cp874")),
+    ("x-user-defined", bytes(range(256))),
+    ("iso-8859-8-i", "שלום abc".encode("iso8859-8")),
+    ("x-mac-cyrillic", "привет".encode("mac-cyrillic")),
+    ("windows-1252", bytes([0x81, 0x8D, 0x8F, 0x90, 0x9D]) + b" C1 <p>x</p>"),
+    ("shift_jis", "漢字テスト".encode("cp932") + b"\x81"),   # cp932, not sjis
+    ("big5", "中文字".encode("big5hkscs")),                  # big5hkscs table
+    ("euc-kr", "한국어".encode("cp949")),                    # cp949 table
+    ("gbk", "中文".encode("cp936")),
+    ("koi8-u", "привіт".encode("koi8-u")),
+    ("replacement", b"<anything at all>"),
+    ("csiso2022kr", b"<anything at all>"),                   # replacement label
+]
+
+
+@pytest.mark.parametrize("label,data", _ENCODING_CASES,
+                         ids=[c[0] for c in _ENCODING_CASES])
+def test_parse_stream_equals_parse_bytes_all_encodings(label, data):
+    data = b"<p>" + data + b"</p>"
+    whole = parse_bytes(data, transport_encoding_label=label)
+    for size in (1, 3, 7, 4096):
+        streamed = parse_stream(_chunks(data, size),
+                                transport_encoding_label=label)
+        assert visible_text(streamed) == visible_text(whole), (label, size)
+        assert streamed.encoding == whole.encoding

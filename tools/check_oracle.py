@@ -4,11 +4,14 @@ oracle_sql() side-by-side over an sf dir, compare row-count + sorted values.
 Usage: python tools/check_oracle.py [sf_dir]
 """
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
 import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -73,10 +76,26 @@ def main(sf_dir: str) -> int:
         try:
             pd.testing.assert_frame_equal(
                 got, exp, check_dtype=False, check_exact=False, rtol=1e-9)
-            print(f"ok   {name}: rows={len(got)} values match")
         except AssertionError as exc:
             print(f"FAIL {name}: value mismatch\n{str(exc)[:500]}")
             failures += 1
+            continue
+        # the driver hashes raw values, so int64 vs float64 (DuckDB HUGEINT
+        # sums) differs even when values are equal — flag it as a failure
+        kind_mismatch = [
+            c for c in got.columns
+            if (pd.api.types.is_integer_dtype(got[c].dtype)
+                != pd.api.types.is_integer_dtype(exp[c].dtype))
+            or (pd.api.types.is_float_dtype(got[c].dtype)
+                != pd.api.types.is_float_dtype(exp[c].dtype))]
+        if kind_mismatch:
+            print(f"FAIL {name}: dtype kind mismatch (driver hash would "
+                  f"differ): "
+                  + ", ".join(f"{c}: {got[c].dtype} vs {exp[c].dtype}"
+                              for c in kind_mismatch))
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(got)} values match")
     ray.shutdown()
     return failures
 
