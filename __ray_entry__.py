@@ -218,7 +218,9 @@ def q_embedding_neardup_pairs(sf_dir: str):
                                  shifted])
 
     aug = ds.map_batches(add_copy, batch_format="pyarrow")
-    return embedding_neardup_pairs(aug, threshold=0.95, sign_bits=2)
+    # defaults: 16-bit random-hyperplane sign-LSH × 4 tables; exact copies
+    # share every table's bucket, so recall for the planted set is 1.0
+    return embedding_neardup_pairs(aug, threshold=0.95)
 
 
 def q_ann_topk(sf_dir: str):

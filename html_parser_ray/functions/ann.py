@@ -60,51 +60,82 @@ def brute_force_topk(ds, query: list[float], k: int = 10):
             .limit(k))
 
 
-def ivf_topk(ds, query: list[float], k: int = 10, n_cells: int = 16,
-             n_probe: int = 4):
-    """IVF variant: assign vectors to seeded coarse centroids inside
-    map_batches, search only the ``n_probe`` cells nearest to the query.
-
-    At scale the cell assignment is computed once and persisted; here it is
-    fused into the read for simplicity. Falls back to exact behavior when
-    n_probe == n_cells.
-    """
-    import ray
-    q = np.asarray(query, dtype=np.float32)
-    q = q / np.linalg.norm(q)
-
-    # deterministic centroids: unit vectors from the seeded generator
-    dim = len(query)
-    cents = np.stack([
-        np.asarray(deterministic_query_vector(dim, seed=1000 + c), dtype=np.float32)
+def ivf_centroids(dim: int, n_cells: int = 16) -> np.ndarray:
+    """Deterministic coarse centroids: unit vectors from the seeded
+    generator (stable across runs, so a persisted cell column stays valid
+    for every future query)."""
+    return np.stack([
+        np.asarray(deterministic_query_vector(dim, seed=1000 + c),
+                   dtype=np.float32)
         for c in range(n_cells)])
-    probe_cells = set(np.argsort(-(cents @ q))[:n_probe].tolist())
-    q_ref = ray.put(q)
-    cents_ref = ray.put(cents)
-    probe_ref = ray.put(probe_cells)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
+
+def ivf_assign(ds, *, dim: int, n_cells: int = 16):
+    """INGEST-time stage: append a persisted ``cell`` column (nearest
+    coarse centroid per vector). Run once when the embedding table is
+    written — every subsequent ``ivf_search`` filters on the stored
+    column instead of re-assigning the whole corpus per query (the r01
+    per-query-reassignment fix). Centroids are broadcast via ray.put,
+    never re-shipped per batch."""
+    import ray
+    cents_ref = ray.put(ivf_centroids(dim, n_cells))
+
+    def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cents_ref)
-        probe = ray.get(probe_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
                                 dtype=np.float32))
         cells = np.argmax(vecs @ cent.T, axis=1)
-        mask = np.isin(cells, list(probe))
-        ids, vecs = ids[mask], vecs[mask]
+        return batch.append_column("cell", pa.array(cells, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_search(assigned_ds, query: list[float], k: int = 10,
+               n_cells: int = 16, n_probe: int = 4):
+    """Search a dataset that already carries the persisted ``cell``
+    column: prune to the ``n_probe`` cells nearest the query (cheap
+    vectorized filter on the stored int column), exact cosine within the
+    probed cells, per-batch partial top-k, tiny final sort-limit. Exact
+    when n_probe == n_cells."""
+    import ray
+    q = np.asarray(query, dtype=np.float32)
+    q = q / np.linalg.norm(q)
+    cents = ivf_centroids(len(query), n_cells)
+    probe_cells = np.sort(np.argsort(-(cents @ q))[:n_probe]).astype(np.int32)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        mask = np.isin(cells, probe_cells)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)[mask]
         if len(ids) == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cosine_bp": pa.array([], pa.int64())})
+        vecs = _unit(np.asarray(
+            batch.column("embedding").filter(pa.array(mask)).to_pylist(),
+            dtype=np.float32))
         sims = vecs @ qv
         take = min(k, len(ids))
-        idx = np.argpartition(-sims, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
+        idx = (np.argpartition(-sims, take - 1)[:take]
+               if take < len(ids) else np.arange(len(ids)))
         return pa.table({
             "vec_id": pa.array(ids[idx], pa.int64()),
             "cosine_bp": pa.array(
-                [int(round(float(s) * 10_000)) for s in sims[idx]], pa.int64()),
+                [int(round(float(s) * 10_000)) for s in sims[idx]],
+                pa.int64()),
         })
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (assigned_ds.map_batches(partial, batch_format="pyarrow")
             .sort(["cosine_bp", "vec_id"], descending=[True, False])
             .limit(k))
+
+
+def ivf_topk(ds, query: list[float], k: int = 10, n_cells: int = 16,
+             n_probe: int = 4):
+    """Convenience composition assign → search for a table that was not
+    written with a cell column. Production path: ``ivf_assign`` once at
+    ingest (column written to parquet), ``ivf_search`` per query."""
+    assigned = ivf_assign(ds, dim=len(query), n_cells=n_cells)
+    return ivf_search(assigned, query, k=k, n_cells=n_cells, n_probe=n_probe)

@@ -15,13 +15,36 @@ Ray-Data-first shapes:
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 import struct
 
 import numpy as np
 import pyarrow as pa
 
+logger = logging.getLogger(__name__)
+
 _WS = re.compile(r"\s+")
+
+# Per-bucket verify is O(k²); real web corpora have mega-buckets (identical
+# boilerplate → identical band keys), so every verify stage caps bucket
+# membership and LOGS the truncation (no-silent-caps rule). 1,000 members
+# bounds a bucket's verify at ~500k comparisons.
+DEFAULT_BUCKET_CAP = 1_000
+
+
+def _cap_bucket(rows: list, cap: int, bucket_key: str) -> list:
+    """Deterministically truncate an oversized verify bucket (rows must be
+    sorted) and log what was dropped. A bucket this large is near-certain
+    mass-duplication; pairs among the retained prefix still link the
+    bucket into one dedup component."""
+    if cap is None or len(rows) <= cap:
+        return rows
+    logger.warning(
+        "dedup verify bucket %r has %d members; capping at %d "
+        "(%d members dropped from pair enumeration)",
+        bucket_key, len(rows), cap, len(rows) - cap)
+    return rows[:cap]
 
 # 64-bit multiply-shift hash seeds (deterministic, no RNG at run time)
 _MASK64 = (1 << 64) - 1
@@ -160,7 +183,8 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
 
 
 def minhash_dedup_pairs(ds, *, num_perm: int = 64, bands: int = 16,
-                        shingle_n: int = 3, jaccard_threshold: float = 0.8):
+                        shingle_n: int = 3, jaccard_threshold: float = 0.8,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP):
     """documents → Dataset[(doc_a, doc_b, jaccard_bp)] near-dup pairs.
 
     Fully distributed, no driver-side loops and no text reshuffle: the
@@ -193,6 +217,8 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         rows = sorted({(i, s) for i, s in
                        zip(group.column("doc_id").to_pylist(),
                            group.column("sig").to_pylist())})
+        rows = _cap_bucket(rows, bucket_cap,
+                           group.column("band_key")[0].as_py())
         sigs = [np.frombuffer(s, dtype=np.uint64) for _i, s in rows]
         out_a, out_b, out_j = [], [], []
         for i in range(len(rows)):
@@ -222,7 +248,8 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4):
+def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4,
+                          bucket_cap: int = DEFAULT_BUCKET_CAP):
     """documents → Dataset[(doc_a, doc_b, hamming)] pairs within Hamming
     distance ``hamming_k`` of each other's 64-bit simhash.
 
@@ -254,6 +281,8 @@ def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4):
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         rows = sorted(set(zip(group.column("doc_id").to_pylist(),
                               group.column("sig").to_pylist())))
+        rows = _cap_bucket(rows, bucket_cap,
+                           group.column("band_key")[0].as_py())
         out_a, out_b, out_h = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -274,47 +303,90 @@ def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4):
         lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
-def embedding_neardup_pairs(ds, *, threshold: float = 0.95, sign_bits: int = 4):
+def hyperplane_keys(unit_vecs: np.ndarray, *, sign_bits: int = 16,
+                    n_tables: int = 4, seed: int = 4242) -> list[list[str]]:
+    """Random-hyperplane sign-LSH keys: ``n_tables`` independent seeded
+    Gaussian projection matrices of ``sign_bits`` hyperplanes each.
+
+    Bucket count scales as min(2^sign_bits, corpus/table) — unlike a
+    fixed-component sign scheme, expected bucket OCCUPANCY stays ~n/2^bits
+    per table, so within-bucket O(k²) verify stays bounded as the corpus
+    grows; multiple tables restore recall (P[all tables miss] =
+    (1-cos_collision^bits)^tables). Returns per-table key lists."""
+    dim = unit_vecs.shape[1]
+    out: list[list[str]] = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed * 1_000 + t)
+        planes = rng.standard_normal((sign_bits, dim)).astype(np.float32)
+        bits = (unit_vecs @ planes.T) >= 0.0          # (n, sign_bits)
+        packed = np.packbits(bits, axis=1)            # (n, ceil(bits/8))
+        out.append([f"{t}:" + row.tobytes().hex() for row in packed])
+    return out
+
+
+def _unit_rows(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vecs / norms
+
+
+def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
+                            sign_bits: int = 16, n_tables: int = 4,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP,
+                            seed: int = 4242):
     """embeddings → Dataset[(vec_a, vec_b, cosine_bp)] near-dup pairs.
 
-    Scale path: bucket by the sign pattern of the first ``sign_bits``
-    normalized components (cheap LSH); exact cosine within buckets only.
-    """
+    Scale path: seeded random-hyperplane sign-LSH (``n_tables`` tables ×
+    ``sign_bits`` bits — bucket cardinality grows with the corpus, unlike
+    a fixed low-bit scheme), exact cosine verify within buckets only,
+    bucket membership capped + logged, pair dedup across tables. The
+    shuffle ships (bucket, vec_id, embedding) per table — n_tables × the
+    vector payload, never all-pairs."""
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_pylist()
-        vecs = batch.column("embedding").to_pylist()
-        keys = []
-        for v in vecs:
-            arr = np.asarray(v, dtype=np.float32)
-            norm = np.linalg.norm(arr)
-            unit = arr / norm if norm else arr
-            key = "".join("1" if x >= 0 else "0" for x in unit[:sign_bits])
-            keys.append(key)
-        return pa.table({"bucket": pa.array(keys, pa.string()),
-                         "vec_id": pa.array(ids, pa.int64()),
-                         "embedding": batch.column("embedding")})
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.asarray(batch.column("embedding").to_pylist(),
+                          dtype=np.float32)
+        unit = _unit_rows(vecs)
+        per_table = hyperplane_keys(unit, sign_bits=sign_bits,
+                                    n_tables=n_tables, seed=seed)
+        keys: list[str] = []
+        for table_keys in per_table:
+            keys.extend(table_keys)
+        rep = np.tile(np.arange(len(ids)), n_tables)
+        return pa.table({
+            "bucket": pa.array(keys, pa.string()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "embedding": batch.column("embedding").take(pa.array(rep)),
+        })
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        vecs = np.asarray(group.column("embedding").to_pylist(), dtype=np.float32)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
+        rows = sorted(
+            {(i, tuple(v)) for i, v in
+             zip(group.column("vec_id").to_pylist(),
+                 group.column("embedding").to_pylist())})
+        rows = _cap_bucket(rows, bucket_cap,
+                           group.column("bucket")[0].as_py())
+        ids = [r[0] for r in rows]
+        vecs = np.asarray([r[1] for r in rows], dtype=np.float32)
+        unit = _unit_rows(vecs)
         sims = unit @ unit.T
-        out_a, out_b, out_s = [], [], []
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                s = float(sims[i, j])
-                if s >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(int(round(s * 10_000)))
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] >= threshold
+        out_a, out_b, out_s = [], [], []
+        for i, j in zip(iu[hit], ju[hit]):
+            a, b = sorted((ids[int(i)], ids[int(j)]))
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(int(round(float(sims[i, j]) * 10_000)))
         return pa.table({"vec_a": pa.array(out_a, pa.int64()),
                          "vec_b": pa.array(out_b, pa.int64()),
                          "cosine_bp": pa.array(out_s, pa.int64())})
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    # a pair can collide in several tables — keep one copy
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -111,10 +111,16 @@ def write_extracted(extracted_ds, out_dir: str, n_buckets: int = 64):
 
 # ---------------------------------------------------------------------------
 # giant-document skew routing (SURVEY.md §4.2 "Skew"): at high parallelism a
-# handful of multi-MB documents straggle whole dispatch bundles. Split the
-# stream on html size: the big slice runs with batch_size=1 (one doc per
-# task) on the same actor class, the normal slice with the usual bundles,
-# and the results union. Both slices stream; nothing materializes.
+# handful of multi-MB documents straggle whole dispatch bundles. A
+# two-branch filter+union re-executes the upstream read per consumer (2×
+# scan I/O of a 100-TB corpus to isolate ~0.1% of rows), so the routing is
+# a SINGLE pass: one generator stage splits each block, yielding the small
+# rows in bulk and every giant row as its own single-row batch, and one
+# extract pool consumes the stream. Giant isolation granularity is then
+# bounded by ``batch_size`` (a giant shares a bundle with at most
+# batch_size-1 small rows) and, above DataContext.target_max_block_size,
+# by Ray's dynamic output-block splitting; per-row budgets bound the
+# worst case regardless.
 
 GIANT_DOC_BYTES = 1_000_000
 
@@ -124,21 +130,19 @@ def extract_with_skew_routing(pages_ds, *, giant_bytes: int = GIANT_DOC_BYTES,
     import pyarrow.compute as pc
     from ..stages.extract import extract_pages
 
-    def is_small(batch: pa.Table) -> pa.Table:
-        mask = pc.less_equal(pc.binary_length(batch.column("html")),
-                             giant_bytes)
-        return batch.filter(mask)
+    def split(batch: pa.Table):
+        sizes = pc.binary_length(batch.column("html"))
+        small_mask = pc.less_equal(sizes, giant_bytes)
+        small = batch.filter(small_mask)
+        if small.num_rows:
+            yield small
+        giant = batch.filter(pc.invert(small_mask))
+        for i in range(giant.num_rows):   # each giant in its own batch
+            yield giant.slice(i, 1)
 
-    def is_giant(batch: pa.Table) -> pa.Table:
-        mask = pc.greater(pc.binary_length(batch.column("html")), giant_bytes)
-        return batch.filter(mask)
-
-    small = pages_ds.map_batches(is_small, batch_format="pyarrow")
-    giant = pages_ds.map_batches(is_giant, batch_format="pyarrow")
-    small_out = extract_pages(small, concurrency=concurrency,
-                              batch_size=batch_size)
-    giant_out = extract_pages(giant, concurrency=2, batch_size=1)
-    return small_out.union(giant_out)
+    routed = pages_ds.map_batches(split, batch_format="pyarrow")
+    return extract_pages(routed, concurrency=concurrency,
+                         batch_size=batch_size)
 
 
 def write_quarantine(extracted_ds, out_dir: str):

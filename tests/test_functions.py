@@ -99,3 +99,50 @@ def test_deterministic_query_vector_unit_norm():
     assert v1 == v2
     assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
     assert ann.deterministic_query_vector(64, seed=8) != v1
+
+
+# ---------------------------------------------------------------------------
+# LSH scale guards: bucket caps + hyperplane bucket cardinality
+
+def test_cap_bucket_truncates_and_logs(caplog):
+    import logging
+    rows = [(i, b"sig") for i in range(50)]
+    with caplog.at_level(logging.WARNING, logger="html_parser_ray.functions.dedup"):
+        out = dedup._cap_bucket(rows, 10, "0:deadbeef")
+    assert out == rows[:10]
+    assert any("capping at 10" in r.message and "40 members dropped" in r.message
+               for r in caplog.records)
+    # under the cap: untouched, no log
+    caplog.clear()
+    assert dedup._cap_bucket(rows, 100, "k") == rows
+    assert not caplog.records
+
+
+def test_hyperplane_bucket_cardinality_grows_with_corpus():
+    """Unlike the old fixed-low-bit sign scheme (<=2^4 buckets forever),
+    hyperplane LSH bucket count scales with corpus size, keeping per-bucket
+    O(k^2) verify bounded."""
+    rng = np.random.RandomState(7)
+
+    def n_buckets(n):
+        vecs = rng.randn(n, 64).astype("float32")
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        keys = dedup.hyperplane_keys(unit, sign_bits=16, n_tables=1)[0]
+        return len(set(keys))
+
+    small, large = n_buckets(200), n_buckets(2000)
+    assert large > small * 4          # cardinality keeps growing
+    assert small > 100                # random vectors spread out immediately
+
+
+def test_hyperplane_keys_deterministic_and_identical_vectors_collide():
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(8, 32).astype("float32")
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    k1 = dedup.hyperplane_keys(unit, sign_bits=16, n_tables=4)
+    k2 = dedup.hyperplane_keys(unit, sign_bits=16, n_tables=4)
+    assert k1 == k2
+    dup = np.vstack([unit, unit[:1]])
+    k3 = dedup.hyperplane_keys(dup, sign_bits=16, n_tables=4)
+    for t in range(4):
+        assert k3[t][8] == k3[t][0]   # exact copy shares every table bucket

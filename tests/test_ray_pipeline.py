@@ -191,7 +191,7 @@ def test_embedding_neardup_pairs_dataset(ray_session):
     })
     from html_parser_ray.functions.dedup import embedding_neardup_pairs
     out = embedding_neardup_pairs(ray.data.from_arrow(tbl),
-                                  threshold=0.95, sign_bits=2).take_all()
+                                  threshold=0.95).take_all()
     pairs = [(r["vec_a"], r["vec_b"]) for r in out]
     assert pairs == [(1, 2)]
 
@@ -250,19 +250,23 @@ def test_simhash_neardup_pairs_dataset(ray_session):
     assert len(pairs) == len(set(pairs))
 
 
-def test_skew_routing_union_complete(ray_session):
-    """Giant docs route to the batch-of-1 pool; union preserves every row."""
+def test_skew_routing_single_scan_complete(ray_session, tmp_path):
+    """Skew routing preserves every row AND reads the input exactly once
+    (the r01 two-branch union re-executed the parquet read per consumer)."""
     import ray
     from html_parser_ray.sources.synth import make_table
     from html_parser_ray.pipelines.extract import extract_with_skew_routing
     tbl = make_table(60, seed=21, size_scale=8)  # mix incl. giant outliers
-    ds = ray.data.from_arrow(tbl)
+    path = str(tmp_path / "pages")
+    ray.data.from_arrow(tbl).write_parquet(path)
+    ds = ray.data.read_parquet(path)
     out = extract_with_skew_routing(ds, giant_bytes=20_000,
                                     concurrency=2, batch_size=8)
     rows = out.take_all()
     assert len(rows) == 60
     assert sorted(r["url"] for r in rows) == \
         sorted(tbl.column("url").to_pylist())
+    assert out.stats().count("ReadParquet") == 1  # single scan
 
 
 def test_quarantine_write(ray_session, tmp_path):
@@ -287,3 +291,68 @@ def test_quarantine_write(ray_session, tmp_path):
     quarantined = ray.data.read_parquet(f"{out_dir}/_quarantine").take_all()
     assert [r["url"] for r in quarantined] == ["bad1"]
     assert quarantined[0]["status"] == "budget_exceeded"
+
+
+def test_minhash_mega_bucket_capped(ray_session):
+    """Adversarial boilerplate corpus: 60 identical docs land in ONE band
+    bucket per band. bucket_cap bounds the O(k^2) verify; retained members
+    still pair up (linking the bucket into one dedup component)."""
+    import ray
+    from html_parser_ray.functions.dedup import minhash_dedup_pairs
+    n = 60
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same boilerplate text repeated everywhere"] * n,
+                         pa.string()),
+    })
+    out = minhash_dedup_pairs(ray.data.from_arrow(tbl),
+                              bucket_cap=10).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    # capped: at most C(10,2) pairs, never C(60,2)=1770
+    assert 0 < len(pairs) <= 45
+    assert all(a < 10 and b < 10 for a, b in pairs)  # deterministic prefix
+
+
+def test_simhash_mega_bucket_capped(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import simhash_neardup_pairs
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["identical content block"] * n, pa.string()),
+    })
+    out = simhash_neardup_pairs(ray.data.from_arrow(tbl),
+                                bucket_cap=8).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert 0 < len(pairs) <= 28  # C(8,2), never C(40,2)=780
+
+
+def test_ivf_assignment_persisted_and_reused(ray_session, tmp_path):
+    """ivf_assign writes the cell column ONCE; ivf_search reuses it across
+    queries (r01 fix: no per-query corpus reassignment)."""
+    import ray
+    import numpy as np
+    from html_parser_ray.functions.ann import (
+        brute_force_topk, deterministic_query_vector, ivf_assign, ivf_search)
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 32).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "assigned")
+    ivf_assign(ray.data.from_arrow(tbl), dim=32,
+               n_cells=8).write_parquet(path)
+    stored = ray.data.read_parquet(path)
+    assert "cell" in stored.schema().names  # persisted at ingest
+    for seed in (7, 8):   # two queries over the SAME stored assignment
+        q = deterministic_query_vector(32, seed=seed)
+        exact = [(r["vec_id"], r["cosine_bp"]) for r in
+                 brute_force_topk(ray.data.from_arrow(tbl), q, k=5).take_all()]
+        via_ivf = [(r["vec_id"], r["cosine_bp"]) for r in
+                   ivf_search(stored, q, k=5, n_cells=8,
+                              n_probe=8).take_all()]
+        assert via_ivf == exact   # n_probe == n_cells → exact
+        pruned = ivf_search(stored, q, k=5, n_cells=8, n_probe=2).take_all()
+        assert 0 < len(pruned) <= 5  # probing fewer cells still answers
