@@ -152,18 +152,22 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # N vs 4N CPUs in fresh processes (sandbox stand-in for N vs 4N
-        # nodes). Default 4 vs 16: the 32-cpu leg saturates every core of
-        # the box, so Ray's control plane + the OS contend with the workers
-        # and understate scaling — a real 4N-node cluster keeps per-node
-        # headroom. best-of-3 per leg: the VM shows +-20% run-to-run noise
-        # (the reference's own bench uses medians of 9 for the same reason,
+        # nodes). Default pairing 4 vs 16 (the 32-cpu leg saturates every
+        # core of the box, so Ray's control plane + the OS contend with
+        # workers and understate scaling — a real 4N-node cluster keeps
+        # per-node headroom); run again with GRAFT_SCALING_CPUS=8,32 for
+        # the full-box pairing. MEDIAN of GRAFT_SCALING_REPS (default 5)
+        # per leg with min/max disclosed — the VM shows ±20% run-to-run
+        # noise and best-of-N overstates (r01 verdict asked for medians;
+        # the reference's own bench uses medians of 9,
         # evaluation.config.json:115-120).
         legs = tuple(int(x) for x in os.environ.get(
             "GRAFT_SCALING_CPUS", "4,16").split(","))
-        runs = {}
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+        runs: dict[int, dict] = {}
         for cpus in legs:
-            best = None
-            for _rep in range(3):
+            samples = []
+            for _rep in range(reps):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--single-run", str(cpus)],
@@ -174,23 +178,32 @@ def main() -> None:
                 if not line:
                     sys.stderr.write(proc.stdout + proc.stderr)
                     raise RuntimeError(f"scaling run at {cpus} cpus failed")
-                rep = json.loads(line[-1][len("BENCH_RESULT "):])
-                if best is None or rep["docs_per_sec"] > best["docs_per_sec"]:
-                    best = rep
-            runs[cpus] = best
+                samples.append(
+                    json.loads(line[-1][len("BENCH_RESULT "):]))
+            tps = sorted(s["docs_per_sec"] for s in samples)
+            median = tps[len(tps) // 2] if reps % 2 else \
+                (tps[reps // 2 - 1] + tps[reps // 2]) / 2
+            runs[cpus] = {
+                "median_docs_per_sec": median,
+                "min_docs_per_sec": tps[0],
+                "max_docs_per_sec": tps[-1],
+                "median_mb_per_sec": sorted(
+                    s["mb_per_sec"] for s in samples)[len(samples) // 2],
+                "reps": reps,
+            }
         lo, hi = legs
-        tp_lo, tp_hi = runs[lo]["docs_per_sec"], runs[hi]["docs_per_sec"]
+        tp_lo = runs[lo]["median_docs_per_sec"]
+        tp_hi = runs[hi]["median_docs_per_sec"]
         efficiency = (tp_hi / tp_lo) / (hi / lo)
         print(json.dumps({
-            "metric": f"extraction scaling efficiency ({lo} -> {hi} cpus)",
+            "metric": f"extraction scaling efficiency ({lo} -> {hi} cpus, "
+                      f"median of {reps})",
             "value": round(efficiency, 4),
             "unit": "ratio",
             "sf": _sf_label(SF_DIR),
-            "throughput_docs_per_sec": {str(lo): round(tp_lo, 2),
-                                        str(hi): round(tp_hi, 2)},
-            "throughput_mb_per_sec": {
-                str(lo): round(runs[lo]["mb_per_sec"], 3),
-                str(hi): round(runs[hi]["mb_per_sec"], 3)},
+            "throughput_docs_per_sec": {
+                str(c): {k: round(v, 2) for k, v in runs[c].items()}
+                for c in legs},
         }))
         return
 

@@ -32,3 +32,30 @@ def test_tokenizer_goldens_chunk(chunk):
         assert got == GOLDEN[case["id"]], (
             f"case {case['id']} ({case['initialState']}): "
             f"{case['html'][:100]!r}")
+
+
+# ---------------------------------------------------------------------------
+# initial-state expansion (reference: run-tokenizer-fixtures.mjs:79-95
+# expands each fixture across its initialStates list; here every base case
+# is systematically expanded across ALL six state families with matching
+# lastStartTag arming — 1,803 cases, goldens from the parse5 oracle)
+
+with open(os.path.join(ROOT, "expanded_cases.jsonl")) as f:
+    EXPANDED = [json.loads(line) for line in f]
+with open(os.path.join(ROOT, "expanded_golden.jsonl")) as f:
+    EXPANDED_GOLDEN = {json.loads(line)["id"]: json.loads(line)["tokens"]
+                       for line in f}
+
+
+def test_expansion_corpus_size():
+    assert len(EXPANDED) >= 1800
+
+
+@pytest.mark.parametrize("chunk", range(0, len(EXPANDED), 200))
+def test_tokenizer_state_expansion_chunk(chunk):
+    for case in EXPANDED[chunk:chunk + 200]:
+        got = tokenize(case["html"], initial_state=case["initialState"],
+                       last_start_tag=case["lastStartTag"])
+        assert got == EXPANDED_GOLDEN[case["id"]], (
+            f"case {case['id']} ({case['initialState']}): "
+            f"{case['html'][:100]!r}")
