@@ -18,6 +18,7 @@ import hashlib
 import logging
 import re
 import struct
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -113,12 +114,15 @@ def simhash64(text: str) -> int:
     tokens = _WS.split(text.strip().lower())
     if not tokens or tokens == [""]:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = hash_bytes(tok.encode())
-        bits = np.unpackbits(
-            np.frombuffer(struct.pack("<Q", h), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
+    hs = np.fromiter((hash_bytes(t.encode()) for t in tokens),
+                     dtype=np.uint64, count=len(tokens))
+    # one vectorized unpack+sum over all tokens (bit layout identical to
+    # the per-token struct.pack('<Q') + unpackbits formulation)
+    le_bytes = hs.view(np.uint8).reshape(-1, 8)
+    if sys.byteorder == "big":             # keep '<Q' byte order everywhere
+        le_bytes = le_bytes[:, ::-1]
+    ones = np.unpackbits(le_bytes, axis=1).sum(axis=0, dtype=np.int64)
+    acc = 2 * ones - len(tokens)
     out = 0
     for i, v in enumerate(acc):
         if v > 0:
