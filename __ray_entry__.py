@@ -235,6 +235,23 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, _query_vector(), k=10, n_cells=16, n_probe=16)
 
 
+def q_minhash_dedup(sf_dir: str):
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components
+    (large-star/small-star over the edge list only) → keep the min doc_id
+    per component. The corpus's planted dups are `text || (' dup')+` chains
+    — every chain member pairs with every other directly, so the surviving
+    set is the docs with no smaller suffix-related sibling, which SQL can
+    express; transitivity itself (A~B~C with A!~C) is covered by pytest
+    with adversarial chain graphs."""
+    from html_parser_ray.functions.dedup import (minhash_dedup_pairs,
+                                                 dedup_keep_canonical)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds)
+    kept = dedup_keep_canonical(ds, pairs)
+    return kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_simhash_neardup_pairs(sf_dir: str):
     """Augmented with exact copies at doc_id+1_000_000 (same trick as the
     embedding query): the Hamming<=3 pairs are exactly the copies — the
@@ -522,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "simhash": q_simhash,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "outline": q_outline,
@@ -604,6 +622,21 @@ def oracle_sql() -> dict[str, str]:
             " AND b.text = substr(a.text, 1, LENGTH(b.text)) "
             " AND regexp_full_match(substr(a.text, LENGTH(b.text) + 1), "
             "     '( dup)+'))"
+        ),
+        # end-to-end dedup survivors: a doc is dropped iff some SMALLER
+        # doc_id is suffix-related (chain members are pairwise related, so
+        # direct relation == same component)
+        "minhash_dedup": (
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents o WHERE o.doc_id < d.doc_id AND ("
+            "(LENGTH(o.text) < LENGTH(d.text) "
+            " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
+            " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
+            "     '( dup)+')) "
+            "OR (LENGTH(d.text) < LENGTH(o.text) "
+            " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
+            " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
+            "     '( dup)+'))))"
         ),
         # simhash_neardup_pairs: no SQL oracle — the synthetic corpus
         # contains genuine simhash collisions (identical 64-bit signatures

@@ -394,3 +394,205 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
     # a pair can collide in several tables — keep one copy
     return pairs.groupby(["vec_a", "vec_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Connected components + end-to-end keep-canonical dedup
+#
+# Near-dup PAIRS are only half the operator a training-data pipeline needs:
+# duplicates are transitive (A~B, B~C must collapse A,B,C together even when
+# A!~C directly), so the drop decision runs on the connected components of
+# the pair graph. The component step is the alternating large-star /
+# small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+# and Beyond", SoCC 2014 — public): O(log n) rounds, each round a
+# groupby(node) over the EDGE list only. At 100 TB the edge list holds just
+# the near-dup docs (8+8 bytes per pair), orders of magnitude smaller than
+# the corpus, and the document payload is never touched until the final
+# filter.
+
+def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
+                         max_rounds: int = 16):
+    """pairs → Dataset[(doc_id, component)] — component = min doc_id
+    reachable in the undirected pair graph; one row per node that appears
+    in at least one pair.
+
+    Each round is two edge-list shuffles (large-star then small-star);
+    convergence is detected with an order-independent edge-set checksum
+    (count + xor-sum aggregate), so no driver-side edge materialization
+    ever happens. Rounds needed: O(log n) in the worst case, 1–2 for the
+    dense clique-like components near-dup detection produces.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        hi, lo = np.maximum(a, b), np.minimum(a, b)
+        return pa.table({"u": pa.array(hi, pa.int64()),
+                         "v": pa.array(lo, pa.int64())})
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def large_star(group: pa.Table) -> pa.Table:
+        u = group.column("u")[0].as_py()
+        nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+        m = min(int(nbrs[0]), u)
+        out = nbrs[nbrs > u]
+        return pa.table({"u": pa.array(out, pa.int64()),
+                         "v": pa.array(np.full(len(out), m), pa.int64())})
+
+    def small_star(group: pa.Table) -> pa.Table:
+        u = group.column("u")[0].as_py()
+        nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+        small = nbrs[nbrs < u].tolist()
+        members = small + [u]
+        m = members[0] if small else u
+        out = [x for x in members if x != m]
+        return pa.table({"u": pa.array(out, pa.int64()),
+                         "v": pa.array([m] * len(out), pa.int64())})
+
+    def _checksum(edges) -> tuple[int, int]:
+        # order-independent fingerprint of the edge MULTISET: count + sum of
+        # a per-edge mix mod 2^64. Duplicate edges (the same (v, m) emitted
+        # from several groups) are counted, not cancelled — a stable edge
+        # SET yields an identical multiset on the very next round (each
+        # round is a deterministic function of the set: groups dedup with
+        # np.unique), so the signature stabilizes one round after the set
+        # does and the loop still terminates.
+        def acc_batch(acc, batch: pa.Table):
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                mix = (u * np.uint64(0x9E3779B97F4A7C15)
+                       ^ v * np.uint64(0xC2B2AE3D27D4EB4F))
+                s = int(mix.sum(dtype=np.uint64)) if len(mix) else 0
+            return (acc[0] + len(u), (acc[1] + s) & _MASK64)
+        agg = AggregateFn(
+            init=lambda _k: (0, 0),
+            merge=lambda a, b: (a[0] + b[0], (a[1] + b[1]) & _MASK64),
+            name="edge_sig",
+            accumulate_block=acc_batch)
+        row = edges.aggregate(agg)
+        sig = row["edge_sig"]
+        return (int(sig[0]), int(sig[1]))
+
+    edges = pairs_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    prev_sig = None
+    for round_no in range(max_rounds):
+        edges = (edges.map_batches(both_dirs, batch_format="pyarrow")
+                 .groupby("u").map_groups(large_star, batch_format="pyarrow"))
+        edges = (edges.map_batches(both_dirs, batch_format="pyarrow")
+                 .groupby("u").map_groups(small_star, batch_format="pyarrow"))
+        edges = edges.materialize()   # edge list only — tiny vs the corpus
+        sig = _checksum(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        logger.warning(
+            "connected_components: no convergence after %d rounds "
+            "(pathological chain topology); labels may be non-minimal",
+            max_rounds)
+
+    # converged edges are (child, root) stars — emit labels for both ends,
+    # dedup with a min aggregate (a root's own row is (root, root))
+    def to_labels(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([u, v]), pa.int64()),
+            "component": pa.array(np.concatenate([v, v]), pa.int64())})
+
+    from ray.data.aggregate import Min
+    return (edges.map_batches(to_labels, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Min("component", alias_name="component")))
+
+
+def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                         broadcast_limit: int = 20_000_000):
+    """End-to-end near-dedup: documents + near-dup pairs → the surviving
+    rows (per component, the min doc_id wins; docs in no pair survive).
+
+    Scale shape: the drop set (non-canonical members of components) is tiny
+    relative to the corpus — only near-dup docs appear in pairs at all — so
+    it is collected once and broadcast via ray.put, and the corpus streams
+    through one vectorized membership filter with NO payload shuffle. If
+    the drop set exceeds ``broadcast_limit`` ids (~8 B each — the default
+    bounds the broadcast at ~160 MB), falls back to a distributed marker
+    anti-join: markers ∪ docs co-shuffle on doc_id and each group keeps its
+    rows unless a marker is present (payload moves once; logged).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    comp = connected_components(pairs_ds)
+    drop_ds = comp.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("doc_id"), b.column("component"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow")
+    n_drop = drop_ds.count()
+
+    if n_drop <= broadcast_limit:
+        drop_ids = np.sort(np.concatenate(
+            [b.column("doc_id").to_numpy(zero_copy_only=False)
+             for b in drop_ds.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        drop_ref = ray.put(drop_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            if len(drop) == 0:
+                return batch
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+            hit = drop[pos] == ids
+            return batch.filter(pa.array(~hit))
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+    logger.warning(
+        "dedup_keep_canonical: drop set has %d ids (> broadcast_limit=%d); "
+        "falling back to distributed marker anti-join (one payload shuffle)",
+        n_drop, broadcast_limit)
+    markers = drop_ds.map_batches(
+        lambda b: b.append_column("__drop", pa.array([True] * len(b))),
+        batch_format="pyarrow")
+    tagged = docs_ds.map_batches(
+        lambda b: b.append_column("__drop", pa.array([False] * len(b))),
+        batch_format="pyarrow")
+
+    def filter_group(group: pa.Table) -> pa.Table:
+        mask = group.column("__drop").to_numpy(zero_copy_only=False)
+        if mask.any():
+            return group.slice(0, 0).drop_columns(["__drop"])
+        return group.drop_columns(["__drop"])
+
+    # markers carry only (doc_id, __drop); union requires identical schemas,
+    # so pad marker rows with nulls for the doc columns
+    doc_schema = tagged.schema()
+    pad_cols = [n for n in doc_schema.names if n not in (id_col, "__drop")]
+
+    def pad(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch.column("doc_id").cast(
+                    doc_schema.base_schema.field(id_col).type),
+                "__drop": batch.column("__drop")}
+        for name in pad_cols:
+            typ = doc_schema.base_schema.field(name).type
+            cols[name] = pa.nulls(len(batch), typ)
+        return pa.table({n: cols[n] for n in doc_schema.names})
+
+    union = tagged.union(markers.map_batches(pad, batch_format="pyarrow"))
+    kept = union.groupby(id_col).map_groups(filter_group,
+                                            batch_format="pyarrow")
+    # marker rows (all-null payload) are removed with their group; a kept
+    # group contains only real doc rows
+    return kept

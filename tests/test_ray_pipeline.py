@@ -356,3 +356,84 @@ def test_ivf_assignment_persisted_and_reused(ray_session, tmp_path):
         assert via_ivf == exact   # n_probe == n_cells → exact
         pruned = ivf_search(stored, q, k=5, n_cells=8, n_probe=2).take_all()
         assert 0 < len(pruned) <= 5  # probing fewer cells still answers
+
+
+def test_connected_components_chain_transitivity(ray_session):
+    # A~B and B~C with no direct A~C pair MUST collapse into one component
+    import ray
+    from html_parser_ray.functions.dedup import connected_components
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 10, 20, 21, 22], pa.int64()),
+        "doc_b": pa.array([2, 3, 11, 21, 22, 23], pa.int64())}))
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).take_all()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    import random
+    import ray
+    from html_parser_ray.functions.dedup import connected_components
+    random.seed(123)
+    n = 200
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for v in {x for e in edges for x in e}:
+        members.setdefault(find(v), []).append(v)
+    expected = {v: min(vs) for vs in members.values() for v in vs}
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64())}))
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).take_all()}
+    assert got == expected
+
+
+def test_dedup_keep_canonical_both_paths(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import dedup_keep_canonical
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 10], pa.int64()),
+        "doc_b": pa.array([2, 3, 11], pa.int64())}))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(15)), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(15)], pa.string())}))
+    expected = [i for i in range(15) if i not in (2, 3, 11)]
+    # broadcast path
+    kept = sorted(r["doc_id"]
+                  for r in dedup_keep_canonical(docs, pairs).take_all())
+    assert kept == expected
+    # distributed marker anti-join path (forced)
+    kept2 = dedup_keep_canonical(docs, pairs, broadcast_limit=0)
+    rows = kept2.take_all()
+    assert sorted(r["doc_id"] for r in rows) == expected
+    assert all(r["text"] == f"t{r['doc_id']}" for r in rows)  # payload intact
+
+
+def test_dedup_keep_canonical_no_pairs(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import dedup_keep_canonical
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string())}))
+    kept = sorted(r["doc_id"]
+                  for r in dedup_keep_canonical(docs, pairs).take_all())
+    assert kept == [5, 6]
