@@ -230,9 +230,13 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
+    """Trained spherical-k-means coarse cells (deterministic sample +
+    seed); n_probe == n_cells keeps the result exact, so the brute-force
+    SQL oracle applies while CORRECTNESS exercises the trained path."""
     from html_parser_ray.functions.ann import ivf_topk
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vector(), k=10, n_cells=16, n_probe=16)
+    return ivf_topk(ds, _query_vector(), k=10, n_cells=16, n_probe=16,
+                    train=True)
 
 
 def q_minhash_dedup(sf_dir: str):

@@ -70,15 +70,84 @@ def ivf_centroids(dim: int, n_cells: int = 16) -> np.ndarray:
         for c in range(n_cells)])
 
 
-def ivf_assign(ds, *, dim: int, n_cells: int = 16):
+def ivf_train(ds, *, dim: int, n_cells: int = 16, sample_size: int = 8192,
+              iters: int = 10, seed: int = 31,
+              sample_rate_permille: int = 500) -> np.ndarray:
+    """Train coarse IVF centroids with spherical k-means on a bounded,
+    deterministic sample (hash-filtered on vec_id — uniform regardless of
+    block order, unlike limit()-style head sampling).
+
+    Scale shape: ONE pruned pass over (vec_id, embedding) collects at most
+    ``sample_size`` vectors to the driver (sample_size × dim × 4 bytes —
+    ~2 MB at the defaults); Lloyd iterations run on that sample in numpy.
+    Standard IVF practice trains on ~256 vectors per cell, so the sample —
+    not the corpus — bounds training cost at 100 TB. Empty cells are
+    re-seeded from the least-covered points. Returns unit centroids; pass
+    them to ivf_assign / ivf_search. Assignments persisted with trained
+    centroids stay valid for every future query as long as the same
+    centroids (same seed + corpus sample) are used to probe.
+
+    ``sample_rate_permille``: hash-filter pass rate (‰). The stream stops
+    as soon as ``sample_size`` rows pass, so the default 500‰ is fine for
+    small tables; on a huge corpus set it near 1000×sample_size/n so the
+    sample draws from all shards instead of the first few blocks."""
+    import ray
+
+    rate = np.uint64(sample_rate_permille)
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(1000) < rate
+        return batch.filter(pa.array(keep))
+
+    sample_tbl = pa.concat_tables(
+        list(ds.map_batches(hash_sample, batch_format="pyarrow")
+             .limit(sample_size).iter_batches(batch_format="pyarrow")))
+    vecs = _unit(np.asarray(sample_tbl.column("embedding").to_pylist(),
+                            dtype=np.float32))
+    n = len(vecs)
+    if n == 0:
+        return ivf_centroids(dim, n_cells)
+    # seeded init: deterministic distinct sample positions
+    state = np.uint64(seed)
+    picks = []
+    while len(picks) < min(n_cells, n):
+        state = state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        idx = int(state >> np.uint64(33)) % n
+        if idx not in picks:
+            picks.append(idx)
+    cents = vecs[picks].copy()
+    if len(cents) < n_cells:   # tiny sample: pad with deterministic units
+        cents = np.concatenate(
+            [cents, ivf_centroids(dim, n_cells)[len(cents):]])
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                # re-seed an empty cell at the point farthest from its
+                # current centroid (classic empty-cluster repair)
+                worst = int(np.argmin(np.max(vecs @ cents.T, axis=1)))
+                cents[c] = vecs[worst]
+        cents = _unit(cents)
+    return cents.astype(np.float32)
+
+
+def ivf_assign(ds, *, dim: int, n_cells: int = 16,
+               centroids: np.ndarray | None = None):
     """INGEST-time stage: append a persisted ``cell`` column (nearest
     coarse centroid per vector). Run once when the embedding table is
     written — every subsequent ``ivf_search`` filters on the stored
     column instead of re-assigning the whole corpus per query (the r01
     per-query-reassignment fix). Centroids are broadcast via ray.put,
-    never re-shipped per batch."""
+    never re-shipped per batch. Pass ``centroids`` from ``ivf_train`` for
+    balanced cells; the deterministic seeded fallback needs no training
+    pass but gives data-blind cell boundaries."""
     import ray
-    cents_ref = ray.put(ivf_centroids(dim, n_cells))
+    cents_ref = ray.put(centroids if centroids is not None
+                        else ivf_centroids(dim, n_cells))
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cents_ref)
@@ -91,16 +160,19 @@ def ivf_assign(ds, *, dim: int, n_cells: int = 16):
 
 
 def ivf_search(assigned_ds, query: list[float], k: int = 10,
-               n_cells: int = 16, n_probe: int = 4):
+               n_cells: int = 16, n_probe: int = 4,
+               centroids: np.ndarray | None = None):
     """Search a dataset that already carries the persisted ``cell``
     column: prune to the ``n_probe`` cells nearest the query (cheap
     vectorized filter on the stored int column), exact cosine within the
     probed cells, per-batch partial top-k, tiny final sort-limit. Exact
-    when n_probe == n_cells."""
+    when n_probe == n_cells. ``centroids`` must be the same array the
+    ``cell`` column was assigned with."""
     import ray
     q = np.asarray(query, dtype=np.float32)
     q = q / np.linalg.norm(q)
-    cents = ivf_centroids(len(query), n_cells)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(len(query), n_cells))
     probe_cells = np.sort(np.argsort(-(cents @ q))[:n_probe]).astype(np.int32)
     q_ref = ray.put(q)
 
@@ -133,9 +205,14 @@ def ivf_search(assigned_ds, query: list[float], k: int = 10,
 
 
 def ivf_topk(ds, query: list[float], k: int = 10, n_cells: int = 16,
-             n_probe: int = 4):
-    """Convenience composition assign → search for a table that was not
-    written with a cell column. Production path: ``ivf_assign`` once at
-    ingest (column written to parquet), ``ivf_search`` per query."""
-    assigned = ivf_assign(ds, dim=len(query), n_cells=n_cells)
-    return ivf_search(assigned, query, k=k, n_cells=n_cells, n_probe=n_probe)
+             n_probe: int = 4, train: bool = False):
+    """Convenience composition (train →) assign → search for a table that
+    was not written with a cell column. Production path: ``ivf_train`` +
+    ``ivf_assign`` once at ingest (cell column written to parquet),
+    ``ivf_search`` per query."""
+    cents = (ivf_train(ds, dim=len(query), n_cells=n_cells)
+             if train else None)
+    assigned = ivf_assign(ds, dim=len(query), n_cells=n_cells,
+                          centroids=cents)
+    return ivf_search(assigned, query, k=k, n_cells=n_cells,
+                      n_probe=n_probe, centroids=cents)

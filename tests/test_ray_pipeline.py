@@ -437,3 +437,49 @@ def test_dedup_keep_canonical_no_pairs(ray_session):
     kept = sorted(r["doc_id"]
                   for r in dedup_keep_canonical(docs, pairs).take_all())
     assert kept == [5, 6]
+
+
+def test_ivf_train_beats_seeded_centroids(ray_session):
+    import numpy as np
+    import ray
+    from html_parser_ray.functions.ann import (
+        brute_force_topk, ivf_assign, ivf_centroids, ivf_search, ivf_train)
+    # 4 well-separated true clusters in 16-d
+    rng = np.random.RandomState(9)
+    centers = rng.randn(4, 16).astype("float32") * 5
+    vecs = np.concatenate([
+        centers[i] + rng.randn(120, 16).astype("float32") * 0.2
+        for i in range(4)])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    trained = ivf_train(ds, dim=16, n_cells=4, sample_size=400)
+    assert trained.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(trained, axis=1), 1.0,
+                               rtol=1e-5)
+    # deterministic: same seed + data -> same centroids
+    again = ivf_train(ds, dim=16, n_cells=4, sample_size=400)
+    np.testing.assert_array_equal(trained, again)
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim_trained = np.max(unit @ trained.T, axis=1).mean()
+    sim_random = np.max(unit @ ivf_centroids(16, 4).T, axis=1).mean()
+    assert sim_trained > sim_random + 0.2  # real quantization win
+
+    # recall with n_probe=1 on trained cells: query at a cluster center
+    q = (centers[2] / np.linalg.norm(centers[2])).tolist()
+    assigned = ivf_assign(ds, dim=16, n_cells=4, centroids=trained)
+    exact = [r["vec_id"] for r in brute_force_topk(ds, q, k=5).take_all()]
+    got = [r["vec_id"] for r in
+           ivf_search(assigned, q, k=5, n_cells=4, n_probe=1,
+                      centroids=trained).take_all()]
+    assert got == exact  # the whole cluster lives in one trained cell
+    # and n_probe == n_cells stays exact regardless of centroids
+    got_all = [r["vec_id"] for r in
+               ivf_search(assigned, q, k=5, n_cells=4, n_probe=4,
+                          centroids=trained).take_all()]
+    assert got_all == exact
