@@ -284,7 +284,8 @@ def parse(html: str, *, scripting_enabled: bool = True,
         builder = TreeBuilder(scripting_enabled=scripting_enabled,
                               capture_spans=capture_spans)
     doc = builder.parse(text)
-    _patch_select_adoption(doc)
+    if builder.saw_select:   # patch targets select/option pairs only
+        _patch_select_adoption(doc)
     errors = _collect_errors(builder, builder.tokenizer.errors)
     _record_tree_budget_errors(doc.children, budgets, errors)
     n_nodes, max_depth = _compute_metrics(doc.children)
@@ -380,7 +381,8 @@ def parse_fragment(html: str, context_tag_name: str, *,
     builder = TreeBuilder(scripting_enabled=scripting_enabled,
                           capture_spans=capture_spans)
     frag = builder.parse_fragment(text, context)
-    _patch_select_adoption(frag)
+    if builder.saw_select:   # patch targets select/option pairs only
+        _patch_select_adoption(frag)
     errors = _collect_errors(builder, builder.tokenizer.errors)
     _record_tree_budget_errors(frag.children, budgets, errors)
     n_nodes, max_depth = _compute_metrics(frag.children)

@@ -115,6 +115,7 @@ class TreeBuilder:
         self.ignore_next_lf = False
         self._cur_token: tuple | None = None
         self._end_tagged: set[int] = set()  # id(el) with explicit end tags
+        self.saw_select = False  # lets api skip the select/option patch walk
 
     # ---------------------------------------------------------------- parsing
 
@@ -336,6 +337,8 @@ class TreeBuilder:
                      start if self.capture_spans else -1,
                      end if self.capture_spans else -1,
                      spans)
+        if name == "select":
+            self.saw_select = True
         return el
 
     def _insert_element(self, token: tuple, ns: str = HTML_NS,
@@ -1030,388 +1033,398 @@ class TreeBuilder:
                 return
             self._stop_parsing()
 
+    # ---- in-body start tags: one handler per tag family, dispatched via
+    # the module-level _IN_BODY_START table (built in priority order after
+    # the class body — first-match-wins semantics of the former if-chain
+    # are preserved by setdefault). A dict lookup replaces the ~8-branch
+    # average scan on the hottest path in web-corpus parsing.
+
     def _in_body_start(self, token: tuple) -> None:
-        name = token[1]
-        if name == "html":
-            self._err("non-void-html-element-start-tag-with-trailing-solidus"
-                      if token[3] else "unexpected-start-tag")
-            if any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
-                return
-            top = self.stack[0]
-            existing = {a[0] for a in top.attrs}
-            for a in token[2]:
-                if a[0] not in existing:
-                    top.attrs.append((a[0], a[1]))
+        _IN_BODY_START.get(token[1], _IBS_DEFAULT)(self, token)
+
+    def _ibs_html(self, token: tuple) -> None:
+        self._err("non-void-html-element-start-tag-with-trailing-solidus"
+                  if token[3] else "unexpected-start-tag")
+        if any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
             return
-        if name in _IN_HEAD_START and name != "noscript":
+        top = self.stack[0]
+        existing = {a[0] for a in top.attrs}
+        for a in token[2]:
+            if a[0] not in existing:
+                top.attrs.append((a[0], a[1]))
+
+    def _ibs_noscript(self, token: tuple) -> None:
+        if self.scripting_enabled:
             self._m_in_head(token)
+        else:
+            self._ibs_default(token)
+
+    def _ibs_body(self, token: tuple) -> None:
+        self._err("unexpected-start-tag")
+        if (len(self.stack) < 2 or self.stack[1].name != "body"
+                or any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
             return
-        if name == "noscript" and self.scripting_enabled:
-            self._m_in_head(token)
+        self.frameset_ok = False
+        body = self.stack[1]
+        existing = {a[0] for a in body.attrs}
+        for a in token[2]:
+            if a[0] not in existing:
+                body.attrs.append((a[0], a[1]))
+
+    def _ibs_frameset(self, token: tuple) -> None:
+        self._err("unexpected-start-tag")
+        if len(self.stack) < 2 or self.stack[1].name != "body":
             return
-        if name == "body":
+        if not self.frameset_ok:
+            return
+        body = self.stack[1]
+        self._detach(body)
+        del self.stack[1:]
+        self._insert_element(token)
+        self.mode = IN_FRAMESET
+
+    def _ibs_block(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(token)
+
+    def _ibs_heading(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        if self.current.ns == HTML_NS and self.current.name in HEADINGS:
             self._err("unexpected-start-tag")
-            if (len(self.stack) < 2 or self.stack[1].name != "body"
-                    or any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
-                return
-            self.frameset_ok = False
-            body = self.stack[1]
-            existing = {a[0] for a in body.attrs}
-            for a in token[2]:
-                if a[0] not in existing:
-                    body.attrs.append((a[0], a[1]))
-            return
-        if name == "frameset":
+            self._pop()
+        self._insert_element(token)
+
+    def _ibs_pre_listing(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(token)
+        self.ignore_next_lf = True
+        self.frameset_ok = False
+
+    def _ibs_form(self, token: tuple) -> None:
+        if (self.form_el is not None
+                and not any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
             self._err("unexpected-start-tag")
-            if len(self.stack) < 2 or self.stack[1].name != "body":
-                return
-            if not self.frameset_ok:
-                return
-            body = self.stack[1]
-            self._detach(body)
-            del self.stack[1:]
-            self._insert_element(token)
-            self.mode = IN_FRAMESET
             return
-        if name in _BLOCK_START:
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._insert_element(token)
-            return
-        if name in HEADINGS:
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            if self.current.ns == HTML_NS and self.current.name in HEADINGS:
-                self._err("unexpected-start-tag")
-                self._pop()
-            self._insert_element(token)
-            return
-        if name in ("pre", "listing"):
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._insert_element(token)
-            self.ignore_next_lf = True
-            self.frameset_ok = False
-            return
-        if name == "form":
-            if (self.form_el is not None
-                    and not any(e.name == "template" and e.ns == HTML_NS for e in self.stack)):
-                self._err("unexpected-start-tag")
-                return
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            el = self._insert_element(token)
-            if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
-                self.form_el = el
-            return
-        if name == "li":
-            self.frameset_ok = False
-            for i in range(len(self.stack) - 1, -1, -1):
-                node = self.stack[i]
-                if node.ns == HTML_NS and node.name == "li":
-                    self._generate_implied_end(exclude="li")
-                    if self.current.name != "li":
-                        self._err("unexpected-start-tag")
-                    self._pop_until_name("li")
-                    break
-                if is_special(node) and not (
-                        node.ns == HTML_NS and node.name in ("address", "div", "p")):
-                    break
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._insert_element(token)
-            return
-        if name in ("dd", "dt"):
-            self.frameset_ok = False
-            for i in range(len(self.stack) - 1, -1, -1):
-                node = self.stack[i]
-                if node.ns == HTML_NS and node.name in ("dd", "dt"):
-                    self._generate_implied_end(exclude=node.name)
-                    if self.current.name != node.name:
-                        self._err("unexpected-start-tag")
-                    self._pop_until_name(("dd", "dt"))
-                    break
-                if is_special(node) and not (
-                        node.ns == HTML_NS and node.name in ("address", "div", "p")):
-                    break
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._insert_element(token)
-            return
-        if name == "plaintext":
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._insert_element(token)
-            self.tokenizer.state = PLAINTEXT
-            return
-        if name == "button":
-            if self._has_in_scope("button"):
-                self._err("unexpected-start-tag")
-                self._generate_implied_end()
-                self._pop_until_name("button")
-            self._reconstruct_afe()
-            self._insert_element(token)
-            self.frameset_ok = False
-            return
-        if name == "a":
-            entry = self._afe_find("a")
-            if entry is not None:
-                self._err("unexpected-start-tag")
-                el = entry[0]
-                self._adoption_agency(("</>", "a", token[-2], token[-1]))
-                if el in [e[0] for e in self.afe if e is not _MARKER]:
-                    self._afe_remove_element(el)
-                self._remove_from_stack(el)
-            self._reconstruct_afe()
-            el = self._insert_element(token)
-            self._afe_push(el, token)
-            return
-        if name in FORMATTING:  # b big code em font i s small strike strong tt u
-            self._reconstruct_afe()
-            if name == "nobr" and self._has_in_scope("nobr"):
-                self._err("unexpected-start-tag")
-                self._adoption_agency(("</>", "nobr", token[-2], token[-1]))
-                self._reconstruct_afe()
-            el = self._insert_element(token)
-            self._afe_push(el, token)
-            return
-        if name in ("applet", "marquee", "object"):
-            self._reconstruct_afe()
-            self._insert_element(token)
-            self._afe_push_marker()
-            self.frameset_ok = False
-            return
-        if name == "table":
-            if (self.doc.quirks_mode != "quirks"
-                    and self._has_in_scope("p", SCOPE_BUTTON)):
-                self._close_p()
-            self._insert_element(token)
-            self.frameset_ok = False
-            self.mode = IN_TABLE
-            return
-        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
-            self._reconstruct_afe()
-            el = self._insert_element(token)
-            self.stack.pop()
-            if self.capture_spans:
-                el.end = token[-1]
-            self.frameset_ok = False
-            return
-        if name == "input":
-            self._reconstruct_afe()
-            el = self._insert_element(token)
-            self.stack.pop()
-            if self.capture_spans:
-                el.end = token[-1]
-            type_attr = next((a[1] for a in token[2] if a[0] == "type"), None)
-            if type_attr is None or type_attr.lower() != "hidden":
-                self.frameset_ok = False
-            return
-        if name in ("param", "source", "track"):
-            el = self._insert_element(token)
-            self.stack.pop()
-            if self.capture_spans:
-                el.end = token[-1]
-            return
-        if name == "hr":
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            el = self._insert_element(token)
-            self.stack.pop()
-            if self.capture_spans:
-                el.end = token[-1]
-            self.frameset_ok = False
-            return
-        if name == "image":
-            self._err("unexpected-start-tag")
-            self._in_body_start((START, "img", token[2], token[3], token[4], token[5]))
-            return
-        if name == "textarea":
-            self._insert_element(token)
-            self.ignore_next_lf = True
-            self.tokenizer.state = RCDATA
-            self.tokenizer.last_start_tag = "textarea"
-            self.orig_mode = self.mode
-            self.frameset_ok = False
-            self.mode = TEXT
-            return
-        if name == "xmp":
-            if self._has_in_scope("p", SCOPE_BUTTON):
-                self._close_p()
-            self._reconstruct_afe()
-            self.frameset_ok = False
-            self._parse_rawtext(token, RAWTEXT)
-            return
-        if name == "iframe":
-            self.frameset_ok = False
-            self._parse_rawtext(token, RAWTEXT)
-            return
-        if name == "noembed":
-            self._parse_rawtext(token, RAWTEXT)
-            return
-        if name == "select":
-            self._reconstruct_afe()
-            self._insert_element(token)
-            self.frameset_ok = False
-            if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
-                self.mode = IN_SELECT_IN_TABLE
-            else:
-                self.mode = IN_SELECT
-            return
-        if name in ("optgroup", "option"):
-            if self.current.ns == HTML_NS and self.current.name == "option":
-                self._pop()
-            self._reconstruct_afe()
-            self._insert_element(token)
-            return
-        if name in ("rb", "rtc"):
-            if self._has_in_scope("ruby"):
-                self._generate_implied_end()
-                if self.current.name != "ruby":
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        el = self._insert_element(token)
+        if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+            self.form_el = el
+
+    def _ibs_li(self, token: tuple) -> None:
+        self.frameset_ok = False
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.ns == HTML_NS and node.name == "li":
+                self._generate_implied_end(exclude="li")
+                if self.current.name != "li":
                     self._err("unexpected-start-tag")
-            self._insert_element(token)
-            return
-        if name in ("rp", "rt"):
-            if self._has_in_scope("ruby"):
-                self._generate_implied_end(exclude="rtc")
-                if self.current.name not in ("rtc", "ruby"):
+                self._pop_until_name("li")
+                break
+            if is_special(node) and not (
+                    node.ns == HTML_NS and node.name in ("address", "div", "p")):
+                break
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(token)
+
+    def _ibs_dd_dt(self, token: tuple) -> None:
+        self.frameset_ok = False
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.ns == HTML_NS and node.name in ("dd", "dt"):
+                self._generate_implied_end(exclude=node.name)
+                if self.current.name != node.name:
                     self._err("unexpected-start-tag")
-            self._insert_element(token)
-            return
-        if name == "math":
-            self._reconstruct_afe()
-            el = self._create_element(token, MATHML_NS, "math")
-            self._insert_at(self._appropriate_place(), el)
-            if token[3]:
-                if self.capture_spans:
-                    el.end = token[-1]
-            else:
-                self.stack.append(el)
-            return
-        if name == "svg":
-            self._reconstruct_afe()
-            el = self._create_element(token, SVG_NS, "svg")
-            self._insert_at(self._appropriate_place(), el)
-            if token[3]:
-                if self.capture_spans:
-                    el.end = token[-1]
-            else:
-                self.stack.append(el)
-            return
-        if name in ("caption", "col", "colgroup", "frame", "head",
-                    "tbody", "td", "tfoot", "th", "thead", "tr"):
+                self._pop_until_name(("dd", "dt"))
+                break
+            if is_special(node) and not (
+                    node.ns == HTML_NS and node.name in ("address", "div", "p")):
+                break
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(token)
+
+    def _ibs_plaintext(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(token)
+        self.tokenizer.state = PLAINTEXT
+
+    def _ibs_button(self, token: tuple) -> None:
+        if self._has_in_scope("button"):
             self._err("unexpected-start-tag")
-            return
+            self._generate_implied_end()
+            self._pop_until_name("button")
+        self._reconstruct_afe()
+        self._insert_element(token)
+        self.frameset_ok = False
+
+    def _ibs_a(self, token: tuple) -> None:
+        entry = self._afe_find("a")
+        if entry is not None:
+            self._err("unexpected-start-tag")
+            el = entry[0]
+            self._adoption_agency(("</>", "a", token[-2], token[-1]))
+            if el in [e[0] for e in self.afe if e is not _MARKER]:
+                self._afe_remove_element(el)
+            self._remove_from_stack(el)
+        self._reconstruct_afe()
+        el = self._insert_element(token)
+        self._afe_push(el, token)
+
+    def _ibs_formatting(self, token: tuple) -> None:
+        # b big code em font i s small strike strong tt u (+nobr re-entry)
+        self._reconstruct_afe()
+        if token[1] == "nobr" and self._has_in_scope("nobr"):
+            self._err("unexpected-start-tag")
+            self._adoption_agency(("</>", "nobr", token[-2], token[-1]))
+            self._reconstruct_afe()
+        el = self._insert_element(token)
+        self._afe_push(el, token)
+
+    def _ibs_applet(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        self._insert_element(token)
+        self._afe_push_marker()
+        self.frameset_ok = False
+
+    def _ibs_table(self, token: tuple) -> None:
+        if (self.doc.quirks_mode != "quirks"
+                and self._has_in_scope("p", SCOPE_BUTTON)):
+            self._close_p()
+        self._insert_element(token)
+        self.frameset_ok = False
+        self.mode = IN_TABLE
+
+    def _ibs_void(self, token: tuple) -> None:
+        # area br embed img keygen wbr
+        self._reconstruct_afe()
+        el = self._insert_element(token)
+        self.stack.pop()
+        if self.capture_spans:
+            el.end = token[-1]
+        self.frameset_ok = False
+
+    def _ibs_input(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        el = self._insert_element(token)
+        self.stack.pop()
+        if self.capture_spans:
+            el.end = token[-1]
+        type_attr = next((a[1] for a in token[2] if a[0] == "type"), None)
+        if type_attr is None or type_attr.lower() != "hidden":
+            self.frameset_ok = False
+
+    def _ibs_param(self, token: tuple) -> None:
+        # param source track
+        el = self._insert_element(token)
+        self.stack.pop()
+        if self.capture_spans:
+            el.end = token[-1]
+
+    def _ibs_hr(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        el = self._insert_element(token)
+        self.stack.pop()
+        if self.capture_spans:
+            el.end = token[-1]
+        self.frameset_ok = False
+
+    def _ibs_image(self, token: tuple) -> None:
+        self._err("unexpected-start-tag")
+        self._in_body_start((START, "img", token[2], token[3], token[4], token[5]))
+
+    def _ibs_textarea(self, token: tuple) -> None:
+        self._insert_element(token)
+        self.ignore_next_lf = True
+        self.tokenizer.state = RCDATA
+        self.tokenizer.last_start_tag = "textarea"
+        self.orig_mode = self.mode
+        self.frameset_ok = False
+        self.mode = TEXT
+
+    def _ibs_xmp(self, token: tuple) -> None:
+        if self._has_in_scope("p", SCOPE_BUTTON):
+            self._close_p()
+        self._reconstruct_afe()
+        self.frameset_ok = False
+        self._parse_rawtext(token, RAWTEXT)
+
+    def _ibs_iframe(self, token: tuple) -> None:
+        self.frameset_ok = False
+        self._parse_rawtext(token, RAWTEXT)
+
+    def _ibs_noembed(self, token: tuple) -> None:
+        self._parse_rawtext(token, RAWTEXT)
+
+    def _ibs_select(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        self._insert_element(token)
+        self.frameset_ok = False
+        if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
+            self.mode = IN_SELECT_IN_TABLE
+        else:
+            self.mode = IN_SELECT
+
+    def _ibs_optgroup_option(self, token: tuple) -> None:
+        if self.current.ns == HTML_NS and self.current.name == "option":
+            self._pop()
         self._reconstruct_afe()
         self._insert_element(token)
 
-    def _in_body_end(self, token: tuple) -> None:
-        name = token[1]
-        if name == "template":
-            self._m_in_head(token)
-            return
-        if name == "body":
-            if not self._has_in_scope("body"):
-                self._err("unexpected-end-tag")
-                return
-            self.mode = AFTER_BODY
+    def _ibs_rb_rtc(self, token: tuple) -> None:
+        if self._has_in_scope("ruby"):
+            self._generate_implied_end()
+            if self.current.name != "ruby":
+                self._err("unexpected-start-tag")
+        self._insert_element(token)
+
+    def _ibs_rp_rt(self, token: tuple) -> None:
+        if self._has_in_scope("ruby"):
+            self._generate_implied_end(exclude="rtc")
+            if self.current.name not in ("rtc", "ruby"):
+                self._err("unexpected-start-tag")
+        self._insert_element(token)
+
+    def _ibs_math(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        el = self._create_element(token, MATHML_NS, "math")
+        self._insert_at(self._appropriate_place(), el)
+        if token[3]:
             if self.capture_spans:
-                for el in self.stack:
-                    if el.name == "body" and el.ns == HTML_NS:
-                        el.end = token[-1]
-                        self._end_tagged.add(id(el))
-                        break
+                el.end = token[-1]
+        else:
+            self.stack.append(el)
+
+    def _ibs_svg(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        el = self._create_element(token, SVG_NS, "svg")
+        self._insert_at(self._appropriate_place(), el)
+        if token[3]:
+            if self.capture_spans:
+                el.end = token[-1]
+        else:
+            self.stack.append(el)
+
+    def _ibs_table_err(self, token: tuple) -> None:
+        # caption col colgroup frame head tbody td tfoot th thead tr
+        self._err("unexpected-start-tag")
+
+    def _ibs_default(self, token: tuple) -> None:
+        self._reconstruct_afe()
+        self._insert_element(token)
+
+    # ---- in-body end tags (same table treatment) --------------------------
+
+    def _in_body_end(self, token: tuple) -> None:
+        _IN_BODY_END.get(token[1], _IBE_DEFAULT)(self, token)
+
+    def _ibe_body(self, token: tuple) -> None:
+        if not self._has_in_scope("body"):
+            self._err("unexpected-end-tag")
             return
-        if name == "html":
-            if not self._has_in_scope("body"):
-                self._err("unexpected-end-tag")
-                return
-            self.mode = AFTER_BODY
-            self._process(token)
-            return
-        if name in _BLOCK_END:
-            if not self._has_in_scope(name):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self.current.name != name:
-                self._err("end-tag-too-early")
-            self._pop_until_name(name)
-            return
-        if name == "form":
-            if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
-                node = self.form_el
-                self.form_el = None
-                if node is None or not self._has_element_in_scope(node):
-                    self._err("unexpected-end-tag")
-                    return
-                self._generate_implied_end()
-                if self.current is not node:
-                    self._err("end-tag-too-early-ignored")
-                self._remove_from_stack(node)
-            else:
-                if not self._has_in_scope("form"):
-                    self._err("unexpected-end-tag")
-                    return
-                self._generate_implied_end()
-                if self.current.name != "form":
-                    self._err("end-tag-too-early-ignored")
-                self._pop_until_name("form")
-            return
-        if name == "p":
-            if not self._has_in_scope("p", SCOPE_BUTTON):
-                self._err("unexpected-end-tag")
-                self._insert_phantom("p")
-            self._close_p()
-            return
-        if name == "li":
-            if not self._has_in_scope("li", SCOPE_LIST_ITEM):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end(exclude="li")
-            if self.current.name != "li":
-                self._err("end-tag-too-early")
-            self._pop_until_name("li")
-            return
-        if name in ("dd", "dt"):
-            if not self._has_in_scope(name):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end(exclude=name)
-            if self.current.name != name:
-                self._err("end-tag-too-early")
-            self._pop_until_name(name)
-            return
-        if name in HEADINGS:
-            if not any(self._has_in_scope(h) for h in HEADINGS):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self.current.name != name:
-                self._err("end-tag-too-early")
-            while self.stack:
-                el = self._pop()
-                if el.ns == HTML_NS and el.name in HEADINGS:
+        self.mode = AFTER_BODY
+        if self.capture_spans:
+            for el in self.stack:
+                if el.name == "body" and el.ns == HTML_NS:
+                    el.end = token[-1]
+                    self._end_tagged.add(id(el))
                     break
+
+    def _ibe_html(self, token: tuple) -> None:
+        if not self._has_in_scope("body"):
+            self._err("unexpected-end-tag")
             return
-        if name in FORMATTING or name == "nobr":
-            self._adoption_agency(token)
+        self.mode = AFTER_BODY
+        self._process(token)
+
+    def _ibe_block(self, token: tuple) -> None:
+        name = token[1]
+        if not self._has_in_scope(name):
+            self._err("unexpected-end-tag")
             return
-        if name in ("applet", "marquee", "object"):
-            if not self._has_in_scope(name):
+        self._generate_implied_end()
+        if self.current.name != name:
+            self._err("end-tag-too-early")
+        self._pop_until_name(name)
+
+    def _ibe_form(self, token: tuple) -> None:
+        if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
+            node = self.form_el
+            self.form_el = None
+            if node is None or not self._has_element_in_scope(node):
                 self._err("unexpected-end-tag")
                 return
             self._generate_implied_end()
-            if self.current.name != name:
-                self._err("end-tag-too-early")
-            self._pop_until_name(name)
-            self._afe_clear_to_marker()
+            if self.current is not node:
+                self._err("end-tag-too-early-ignored")
+            self._remove_from_stack(node)
+        else:
+            if not self._has_in_scope("form"):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.current.name != "form":
+                self._err("end-tag-too-early-ignored")
+            self._pop_until_name("form")
+
+    def _ibe_p(self, token: tuple) -> None:
+        if not self._has_in_scope("p", SCOPE_BUTTON):
+            self._err("unexpected-end-tag")
+            self._insert_phantom("p")
+        self._close_p()
+
+    def _ibe_li(self, token: tuple) -> None:
+        if not self._has_in_scope("li", SCOPE_LIST_ITEM):
+            self._err("unexpected-end-tag")
             return
-        if name == "br":
-            self._err("unexpected-end-tag-treated-as")
-            self._in_body_start((START, "br", [], False, token[-2], token[-1]))
+        self._generate_implied_end(exclude="li")
+        if self.current.name != "li":
+            self._err("end-tag-too-early")
+        self._pop_until_name("li")
+
+    def _ibe_dd_dt(self, token: tuple) -> None:
+        name = token[1]
+        if not self._has_in_scope(name):
+            self._err("unexpected-end-tag")
             return
-        self._in_body_any_other_end(token)
+        self._generate_implied_end(exclude=name)
+        if self.current.name != name:
+            self._err("end-tag-too-early")
+        self._pop_until_name(name)
+
+    def _ibe_heading(self, token: tuple) -> None:
+        name = token[1]
+        if not any(self._has_in_scope(h) for h in HEADINGS):
+            self._err("unexpected-end-tag")
+            return
+        self._generate_implied_end()
+        if self.current.name != name:
+            self._err("end-tag-too-early")
+        while self.stack:
+            el = self._pop()
+            if el.ns == HTML_NS and el.name in HEADINGS:
+                break
+
+    def _ibe_applet(self, token: tuple) -> None:
+        name = token[1]
+        if not self._has_in_scope(name):
+            self._err("unexpected-end-tag")
+            return
+        self._generate_implied_end()
+        if self.current.name != name:
+            self._err("end-tag-too-early")
+        self._pop_until_name(name)
+        self._afe_clear_to_marker()
+
+    def _ibe_br(self, token: tuple) -> None:
+        self._err("unexpected-end-tag-treated-as")
+        self._in_body_start((START, "br", [], False, token[-2], token[-1]))
 
     # --------------------------------------------------- adoption agency
 
@@ -2409,3 +2422,77 @@ _MODE_HANDLERS = {
     AFTER_AFTER_BODY: TreeBuilder._m_after_after_body,
     AFTER_AFTER_FRAMESET: TreeBuilder._m_after_after_frameset,
 }
+
+
+# ---------------------------------------------------------------------------
+# in-body dispatch tables: built in the PRIORITY ORDER of the former
+# if/elif chains — setdefault preserves first-match-wins for names that
+# appear in several groups (e.g. "a" beats FORMATTING).
+
+def _build_in_body_tables():
+    c = TreeBuilder
+    start: dict = {}
+
+    def fill(names, fn):
+        for n in names:
+            start.setdefault(n, fn)
+
+    fill(("html",), c._ibs_html)
+    fill((n for n in _IN_HEAD_START if n != "noscript"), c._m_in_head)
+    fill(("noscript",), c._ibs_noscript)
+    fill(("body",), c._ibs_body)
+    fill(("frameset",), c._ibs_frameset)
+    fill(_BLOCK_START, c._ibs_block)
+    fill(HEADINGS, c._ibs_heading)
+    fill(("pre", "listing"), c._ibs_pre_listing)
+    fill(("form",), c._ibs_form)
+    fill(("li",), c._ibs_li)
+    fill(("dd", "dt"), c._ibs_dd_dt)
+    fill(("plaintext",), c._ibs_plaintext)
+    fill(("button",), c._ibs_button)
+    fill(("a",), c._ibs_a)
+    fill(FORMATTING, c._ibs_formatting)
+    fill(("applet", "marquee", "object"), c._ibs_applet)
+    fill(("table",), c._ibs_table)
+    fill(("area", "br", "embed", "img", "keygen", "wbr"), c._ibs_void)
+    fill(("input",), c._ibs_input)
+    fill(("param", "source", "track"), c._ibs_param)
+    fill(("hr",), c._ibs_hr)
+    fill(("image",), c._ibs_image)
+    fill(("textarea",), c._ibs_textarea)
+    fill(("xmp",), c._ibs_xmp)
+    fill(("iframe",), c._ibs_iframe)
+    fill(("noembed",), c._ibs_noembed)
+    fill(("select",), c._ibs_select)
+    fill(("optgroup", "option"), c._ibs_optgroup_option)
+    fill(("rb", "rtc"), c._ibs_rb_rtc)
+    fill(("rp", "rt"), c._ibs_rp_rt)
+    fill(("math",), c._ibs_math)
+    fill(("svg",), c._ibs_svg)
+    fill(("caption", "col", "colgroup", "frame", "head",
+          "tbody", "td", "tfoot", "th", "thead", "tr"), c._ibs_table_err)
+
+    end: dict = {}
+
+    def fille(names, fn):
+        for n in names:
+            end.setdefault(n, fn)
+
+    fille(("template",), c._m_in_head)
+    fille(("body",), c._ibe_body)
+    fille(("html",), c._ibe_html)
+    fille(_BLOCK_END, c._ibe_block)
+    fille(("form",), c._ibe_form)
+    fille(("p",), c._ibe_p)
+    fille(("li",), c._ibe_li)
+    fille(("dd", "dt"), c._ibe_dd_dt)
+    fille(HEADINGS, c._ibe_heading)
+    fille(FORMATTING | {"nobr"}, c._adoption_agency)
+    fille(("applet", "marquee", "object"), c._ibe_applet)
+    fille(("br",), c._ibe_br)
+    return start, end
+
+
+_IN_BODY_START, _IN_BODY_END = _build_in_body_tables()
+_IBS_DEFAULT = TreeBuilder._ibs_default
+_IBE_DEFAULT = TreeBuilder._in_body_any_other_end
