@@ -281,6 +281,43 @@ def _wrapped_pages(sf_dir: str):
     return ds.map_batches(_wrap_batch, batch_format="pyarrow")
 
 
+def q_main_content(sf_dir: str):
+    """Boilerplate-stripped main content (north-star classification step:
+    text density, link density, tag-path chrome context, heading
+    promotion, short-block smoothing — htmlcore/boilerplate.py). The wrap
+    plants deterministic chrome (nav links, header banner, footer) around
+    the article; the classifier must drop all of it and keep h1+p iff the
+    paragraph has >= 5 words, which SQL reproduces."""
+    import datetime
+    from html_parser_ray.stages.main_content import main_content_pages
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        htmls = [
+            ("<html><head><meta charset='utf-8'><title>d</title></head>"
+             "<body><nav><a href='/'>Home</a> <a href='/a'>About</a> "
+             "<a href='/c'>Contact</a></nav>"
+             "<header><div>Site Header Banner</div></header>"
+             f"<article><h1>Doc {i}</h1><p>{_escape(t)}</p></article>"
+             "<footer><p>Copyright 2024 example.com</p></footer>"
+             "</body></html>").encode("utf-8")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = main_content_pages(ds.map_batches(wrap, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "main_text", "n_blocks",
+                            "n_content_blocks"]),
+        batch_format="pyarrow")
+
+
 def q_outline(sf_dir: str):
     """Parse each wrapped page and emit its heading/section skeleton
     (SURVEY.md M16). Oracle reproduces the deterministic wrap shape."""
@@ -546,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "main_content": q_main_content,
         "outline": q_outline,
         "serialize_roundtrip": q_serialize_roundtrip,
         "visible_tokens": q_visible_tokens,
@@ -646,6 +684,24 @@ def oracle_sql() -> dict[str, str]:
         # contains genuine simhash collisions (identical 64-bit signatures
         # for distinct same-vocabulary docs), which SQL cannot reproduce.
         # The operator is value-tested in tests/test_ray_pipeline.py.
+        # main_content: the wrap's chrome (nav/header/footer) is always
+        # dropped; h1+p survive iff the paragraph has >= 5 words (heading
+        # promotion needs a good successor; short p fails smoothing with a
+        # bad h1 neighbour). Block count: nav, header div, h1, footer p,
+        # + the p iff non-empty.
+        "main_content": (
+            "WITH c AS (SELECT doc_id, " + _NORM_SQL + " AS norm "
+            "FROM documents), "
+            "w AS (SELECT doc_id, norm, CASE WHEN norm = '' THEN 0 "
+            "ELSE len(string_split(norm, ' ')) END AS words FROM c) "
+            "SELECT doc_id, "
+            "CASE WHEN words >= 5 THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "|| chr(10) || chr(10) || norm ELSE '' END AS main_text, "
+            "CAST(CASE WHEN norm = '' THEN 4 ELSE 5 END AS BIGINT) "
+            "AS n_blocks, "
+            "CAST(CASE WHEN words >= 5 THEN 2 ELSE 0 END AS BIGINT) "
+            "AS n_content_blocks FROM w"
+        ),
         "outline": (
             "SELECT doc_id, 'article' AS tag_name, 2 AS depth, "
             "substr('Doc ' || CAST(doc_id AS VARCHAR) || text, 1, 200) AS text "

@@ -114,9 +114,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in ["extract_rollup_by_lang", "exact_dedup", "token_counts",
                  "quality_scores", "langid", "simhash",
-                 "minhash_neardup_pairs", "ann_topk", "ann_ivf_topk",
-                 "pricing_summary", "sessionize", "tumbling_window",
-                 "outline", "serialize_roundtrip", "image_features"]:
+                 "minhash_neardup_pairs", "minhash_dedup", "ann_topk",
+                 "ann_ivf_topk", "pricing_summary", "sessionize",
+                 "tumbling_window", "outline", "main_content",
+                 "serialize_roundtrip", "image_features"]:
         fn = qs[name]
         times[name] = _timed(lambda: _consume(fn(sf_dir)))
     return times
