@@ -318,6 +318,31 @@ def q_main_content(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_pdf_extract(sf_dir: str):
+    """PDF/layout parse (north-star step): wrap each document's text in a
+    deterministic digital-born PDF (pdfcore.make_minimal_pdf — valid
+    xref, Flate-compressed content stream) and run the from-scratch
+    extraction kernel over it as an actor-pool stage. Single-line pages
+    make the oracle the identity on text; the multi-line / multi-page /
+    escape / uncompressed paths are pytest-tested."""
+    from html_parser_ray.pdfcore import make_minimal_pdf
+    from html_parser_ray.stages.pdf_extract import pdf_extract_pages
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pdf": pa.array([make_minimal_pdf(t) for t in texts],
+                            pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pdf_extract_pages(ds.map_batches(wrap, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "pdf_text"]), batch_format="pyarrow")
+
+
 def q_outline(sf_dir: str):
     """Parse each wrapped page and emit its heading/section skeleton
     (SURVEY.md M16). Oracle reproduces the deterministic wrap shape."""
@@ -584,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "main_content": q_main_content,
+        "pdf_extract": q_pdf_extract,
         "outline": q_outline,
         "serialize_roundtrip": q_serialize_roundtrip,
         "visible_tokens": q_visible_tokens,
@@ -702,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN words >= 5 THEN 2 ELSE 0 END AS BIGINT) "
             "AS n_content_blocks FROM w"
         ),
+        # pdf round-trip: single-line page → extraction is the identity
+        "pdf_extract": "SELECT doc_id, text AS pdf_text FROM documents",
         "outline": (
             "SELECT doc_id, 'article' AS tag_name, 2 AS depth, "
             "substr('Doc ' || CAST(doc_id AS VARCHAR) || text, 1, 200) AS text "
