@@ -534,11 +534,14 @@ def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     comp = connected_components(pairs_ds)
+    # materialize the (small) drop set once — count + the broadcast
+    # collect below would otherwise each re-execute the whole
+    # components lineage
     drop_ds = comp.map_batches(
         lambda b: b.filter(
             pc.not_equal(b.column("doc_id"), b.column("component"))
         ).select(["doc_id"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     n_drop = drop_ds.count()
 
     if n_drop <= broadcast_limit:
