@@ -125,6 +125,10 @@ def _accessible_name_fallback(el: Element, options: VisibleTextOptions) -> str |
 # source chunk: (value, source_node, source_role)  — node None = document root
 _DOC_SOURCE = (None, "text-node")
 
+# tags whose _collect branch uses the emit closure — the common path (div,
+# span, a, p, …) skips closure creation entirely
+_EMIT_TAGS = frozenset(["img", "input", "button", "tr"])
+
 
 def _collect(node, parts: list[str], options: VisibleTextOptions,
              preserve: bool, chunks: list | None,
@@ -141,7 +145,6 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
     if options.skip_hidden_subtrees and node.attrs and _is_hidden(node, options):
         return
     tag = node.name.lower()
-    fallback_name = _accessible_name_fallback(node, options)
     if tag in SKIP_TAGS:
         return
 
@@ -156,20 +159,22 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
                          "noscript-fallback")
             return
 
-    if chunks is None:
-        def emit(value: str, role: str, src=node) -> None:
-            parts.append(value)
-    else:
-        def emit(value: str, role: str, src=node) -> None:
-            if value:
-                parts.append(value)
-                chunks.append((value, src, role_override or role))
-
     if tag == "br":
         parts.append("\n")
         if chunks is not None:
             chunks.append(("\n", node, role_override or "structure-break"))
         return
+
+    if tag in _EMIT_TAGS:   # only these branches need the emit closure
+        if chunks is None:
+            def emit(value: str, role: str, src=node) -> None:
+                parts.append(value)
+        else:
+            def emit(value: str, role: str, src=node) -> None:
+                if value:
+                    parts.append(value)
+                    chunks.append((value, src, role_override or role))
+
     if tag == "img" and options.include_control_values:
         alt = _attr(node, "alt")
         if alt:
@@ -182,6 +187,7 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
             if type_value in INPUT_VALUE_TYPES and value:
                 emit(_normalize_segment(value, False), "input-value")
                 return
+            fallback_name = _accessible_name_fallback(node, options)
             if fallback_name:
                 emit(_normalize_segment(fallback_name, False), "input-aria-label")
         return

@@ -236,10 +236,10 @@ class TreeBuilder:
         return el.children
 
     def _append(self, parent, node) -> None:
-        if isinstance(parent, Element):
-            self._content_of(parent).append(node)
-        else:
-            parent.children.append(node)
+        # hot path: getattr default covers Document/DocumentFragment (no
+        # template_content slot) and non-template Elements (None) alike
+        tc = getattr(parent, "template_content", None)
+        (parent.children if tc is None else tc).append(node)
         node.parent = parent
 
     def _detach(self, node) -> None:
@@ -285,7 +285,8 @@ class TreeBuilder:
         if index is None:
             self._append(parent, node)
         else:
-            kids = self._content_of(parent) if isinstance(parent, Element) else parent.children
+            tc = getattr(parent, "template_content", None)
+            kids = parent.children if tc is None else tc
             kids.insert(index, node)
             node.parent = parent
 
@@ -294,7 +295,8 @@ class TreeBuilder:
             return
         place = self._appropriate_place()
         parent, index = place
-        kids = self._content_of(parent) if isinstance(parent, Element) else parent.children
+        tc = getattr(parent, "template_content", None)
+        kids = parent.children if tc is None else tc
         prev = None
         if index is None:
             prev = kids[-1] if kids else None
