@@ -3,19 +3,21 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-27 queries cover the engine surface per SURVEY.md §2.11: the HTML
+30 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
-ExtractStage → byte-exact text vs a SQL normalization oracle), extraction
+ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
+classification / main-content extraction, PDF/layout parse, extraction
 rollups, derived outputs (outline / serialize / visible-token stream /
 chunks / patch planning), dedup family (exact / MinHash-LSH / SimHash /
-embedding-cosine), similarity search (brute-force + IVF top-k), text
-analysis (tokens, fingerprints, language-ID, quality), deterministic
-sampling, session + tumbling windows, multimodal feature stages, and the
-generic columnar path. 25 of 27 have value-checked DuckDB oracles; only
-the two simhash queries are rows-only (blake2b signatures are not
-SQL-expressible). Column names match the SQL aliases exactly (the driver
-sorts columns by name before hashing values), and aggregate sums are CAST
-to BIGINT so DuckDB's HUGEINT does not change the comparison dtype.
+embedding-cosine / connected-components keep-canonical), similarity
+search (brute-force + trained-IVF top-k), text analysis (tokens,
+fingerprints, language-ID, quality), deterministic sampling, session +
+tumbling windows, multimodal feature stages, and the generic columnar
+path. 28 of 30 have value-checked DuckDB oracles; only the two simhash
+queries are rows-only (blake2b signatures are not SQL-expressible).
+Column names match the SQL aliases exactly (the driver sorts columns by
+name before hashing values), and aggregate sums are CAST to BIGINT so
+DuckDB's HUGEINT does not change the comparison dtype.
 """
 
 from __future__ import annotations

@@ -483,3 +483,29 @@ def test_ivf_train_beats_seeded_centroids(ray_session):
                ivf_search(assigned, q, k=5, n_cells=4, n_probe=4,
                           centroids=trained).take_all()]
     assert got_all == exact
+
+
+def test_connected_components_long_path_chain(ray_session):
+    # 120-node path graph: worst-case diameter for label propagation;
+    # large-star/small-star must converge in O(log n) rounds (max_rounds
+    # defaults to 16 >> log2(120))
+    import ray
+    from html_parser_ray.functions.dedup import connected_components
+    n = 120
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64())}))
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).take_all()}
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_connected_components_duplicate_and_reversed_pairs(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import connected_components
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([5, 2, 2, 9, 9, 7], pa.int64()),
+        "doc_b": pa.array([2, 5, 5, 7, 7, 9], pa.int64())}))
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).take_all()}
+    assert comp == {2: 2, 5: 2, 7: 7, 9: 7}
