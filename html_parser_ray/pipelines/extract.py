@@ -172,3 +172,51 @@ def run_extract(input_path: str, out_dir: str, *, concurrency=None,
         extracted = extract_pipeline(pages, concurrency=concurrency,
                                      batch_size=batch_size)
     write_extracted(extracted, out_dir, n_buckets)
+
+
+# --------------------------------------------------------------------------
+# CLI entry point for `ray job submit` (the production invocation on a
+# fixed-size cluster — the north rule's submission path):
+#
+#   ray job submit --address http://<head>:8265 -- \
+#       python -m html_parser_ray.pipelines.extract \
+#       /data/pages/ /out/extracted/ --buckets 256
+#
+# This is one of the three places allowed to own a Ray session (with
+# bench.py and the test fixture); the init is guarded so it also works
+# when submitted into an already-initialised driver.
+
+def _main(argv: list[str]) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m html_parser_ray.pipelines.extract",
+        description="Streaming HTML extraction: pages parquet -> "
+                    "url-hash-partitioned extracted parquet")
+    parser.add_argument("input_path", help="pages parquet dir/file")
+    parser.add_argument("out_dir", help="output directory")
+    parser.add_argument("--buckets", type=int, default=64,
+                        help="url-hash output partitions (default 64)")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--concurrency", type=int, default=None,
+                        help="actor pool size (default ~75%% of CPUs)")
+    parser.add_argument("--no-skew-routing", action="store_true")
+    args = parser.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init()  # in `ray job submit` this attaches to the cluster
+    try:
+        run_extract(args.input_path, args.out_dir,
+                    concurrency=args.concurrency,
+                    batch_size=args.batch_size,
+                    n_buckets=args.buckets,
+                    skew_routing=not args.no_skew_routing)
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    raise SystemExit(_main(sys.argv[1:]))
