@@ -71,15 +71,16 @@ def _shingle_array(text: str, n: int = 3) -> np.ndarray:
         return np.array([], dtype=np.uint64)
     wh = np.fromiter((hash_bytes(w.encode()) for w in words),
                      dtype=np.uint64, count=len(words))
-    if len(wh) < n:
-        acc = wh[0] * _SHINGLE_MIX[0]
-        for i in range(1, len(wh)):
-            acc = acc ^ (wh[i] * _SHINGLE_MIX[i % 8])
-        return np.array([acc], dtype=np.uint64)
-    acc = wh[:len(wh) - n + 1] * _SHINGLE_MIX[0]
-    for i in range(1, n):
-        acc = acc ^ (wh[i:len(wh) - n + 1 + i] * _SHINGLE_MIX[i % 8])
-    return np.unique(acc)
+    with np.errstate(over="ignore"):   # uint64 wraparound is the hash mix
+        if len(wh) < n:
+            acc = wh[0] * _SHINGLE_MIX[0]
+            for i in range(1, len(wh)):
+                acc = acc ^ (wh[i] * _SHINGLE_MIX[i % 8])
+            return np.array([acc], dtype=np.uint64)
+        acc = wh[:len(wh) - n + 1] * _SHINGLE_MIX[0]
+        for i in range(1, n):
+            acc = acc ^ (wh[i:len(wh) - n + 1 + i] * _SHINGLE_MIX[i % 8])
+        return np.unique(acc)
 
 
 def _shingles(text: str, n: int = 3) -> set[int]:
