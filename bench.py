@@ -107,6 +107,20 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def bench_main_content_cc(sf_dir: str) -> float:
+    """Boilerplate-strip throughput over the SAME CC-scale corpus as the
+    flagship (real chrome to classify, not the 300-B documents rows);
+    returns elapsed seconds for the full corpus."""
+    import ray
+    from html_parser_ray.stages.main_content import main_content_pages
+    sf = _sf_label(sf_dir)
+    corpus = _ensure_corpus(sf if isinstance(sf, float) else 0.1)
+    pages = ray.data.read_parquet(
+        corpus, columns=["url", "html"],
+        override_num_blocks=max(64, NUM_CPUS * 4))
+    return _timed(lambda: _consume(main_content_pages(pages)))
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, REPO)
     import __ray_entry__ as em
@@ -120,6 +134,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
                  "pdf_extract", "serialize_roundtrip", "image_features"]:
         fn = qs[name]
         times[name] = _timed(lambda: _consume(fn(sf_dir)))
+    times["main_content_cc"] = bench_main_content_cc(sf_dir)
     return times
 
 
