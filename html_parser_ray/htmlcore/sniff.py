@@ -97,6 +97,12 @@ class SniffResult:
     source: str  # "bom" | "transport" | "meta" | "default"
 
 
+# canonical encodings whose labels the reference's TextDecoder-backed
+# canonicalization rejects (see canonicalize_label below)
+_TEXTDECODER_UNSUPPORTED = frozenset(
+    ["iso-8859-16", "replacement", "x-user-defined"])
+
+
 def _strip_quotes(value: str) -> str:
     trimmed = value.strip()
     if len(trimmed) >= 2 and trimmed[0] == trimmed[-1] and trimmed[0] in "\"'":
@@ -115,6 +121,17 @@ def canonicalize_label(label: str, source: str) -> str | None:
         return "utf-8"
     encoding = LABEL_TO_ENCODING.get(normalized)
     if encoding is None:
+        return None
+    if encoding in _TEXTDECODER_UNSUPPORTED:
+        # The reference canonicalizes via `new TextDecoder(label)`
+        # (sniff.ts:62-75), and Node's TextDecoder — in the reference's
+        # own CI as here — throws RangeError for exactly these three
+        # WHATWG encodings (replacement by spec; x-user-defined and
+        # iso-8859-16 as engine gaps). The reference therefore treats
+        # their labels as unknown and falls through to the next signal /
+        # the default. Differential-verified vs the reference's sniff
+        # (tools/ref_oracle/encoding_oracle.mjs); the WHATWG-table
+        # alternative would return them and break byte parity.
         return None
     if encoding == "iso-8859-1":  # unreachable (alias set above) — kept for parity
         return "windows-1252"
