@@ -509,3 +509,20 @@ def test_connected_components_duplicate_and_reversed_pairs(ray_session):
     comp = {r["doc_id"]: r["component"]
             for r in connected_components(pairs).take_all()}
     assert comp == {2: 2, 5: 2, 7: 7, 9: 7}
+
+
+def test_flagship_extract_plan_is_shuffle_free(ray_session):
+    # architecture guard: the flagship extract is read -> actor-pool map;
+    # any AllToAll (sort/shuffle/aggregate) appearing in its plan is a
+    # scale regression (the 100-TB path must stream without an exchange)
+    import ray
+    from html_parser_ray.stages.extract import extract_pages
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(8)], pa.string()),
+        "html": pa.array([b"<p>x</p>"] * 8, pa.binary()),
+    })
+    ds = extract_pages(ray.data.from_arrow(tbl), concurrency=2, batch_size=4)
+    ds.take_all()
+    stats = ds.stats()
+    assert "AllToAll" not in stats
+    assert "Sort" not in stats
