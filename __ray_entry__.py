@@ -538,6 +538,13 @@ def q_tumbling_window(sf_dir: str):
     return tumbling_window_agg(ds, window_s=3600)
 
 
+def q_hopping_window(sf_dir: str):
+    """1h windows hopping every 15 min — each event in 4 windows."""
+    from html_parser_ray.functions.windows import hopping_window_agg
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_window_agg(ds, window_s=3600, hop_s=900)
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -623,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": q_deterministic_sample,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "top_users_by_value": q_top_users_by_value,
@@ -888,6 +896,13 @@ def oracle_sql() -> dict[str, str]:
             "3600000000) AS window_start, COUNT(*) AS n_events, "
             "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
             "FROM events GROUP BY 1"
+        ),
+        # each event is exploded onto its 4 overlapping 1h/15min windows
+        "hopping_window": (
+            "SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * "
+            "900000000) AS window_start, COUNT(*) AS n_events, "
+            "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
+            "FROM events, (SELECT unnest(range(4)) AS k) k GROUP BY 1"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(round(SUM(value) * 100) AS BIGINT) AS "

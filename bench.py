@@ -130,7 +130,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
                  "quality_scores", "langid", "simhash",
                  "minhash_neardup_pairs", "minhash_dedup", "ann_topk",
                  "ann_ivf_topk", "pricing_summary", "sessionize",
-                 "tumbling_window", "outline", "main_content",
+                 "tumbling_window", "hopping_window", "outline", "main_content",
                  "pdf_extract", "serialize_roundtrip", "image_features"]:
         fn = qs[name]
         times[name] = _timed(lambda: _consume(fn(sf_dir)))

@@ -96,3 +96,53 @@ def tumbling_window_agg(ds, *, window_s: int = 3600):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_agg(ds, *, window_s: int = 3600, hop_s: int = 900):
+    """events → (window_start, n_events, value_sum_cents) HOPPING (sliding)
+    windows: length ``window_s``, advancing every ``hop_s``; each event
+    lands in window_s / hop_s overlapping windows (must divide evenly).
+
+    Same combiner shape as the tumbling variant: the per-batch partial
+    explodes each event onto its window grid VECTORIZED (one np.unique +
+    two bincounts over n_events × n_windows rows) and emits one partial
+    row per (window) per batch, so the groupby shuffles only tiny
+    partials regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    hop_us = hop_s * 1_000_000
+    n_k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        values = batch.column("value").to_numpy()
+        base = (ts // hop_us) * hop_us
+        # windows containing ts: base, base - hop, …, base - (n_k-1)*hop
+        wins = np.concatenate([base - k * hop_us for k in range(n_k)])
+        vals = np.tile(values, n_k)
+        uniq, inverse = np.unique(wins, return_inverse=True)
+        return pa.table({
+            "window_start_us": pa.array(uniq, pa.int64()),
+            "n_events": pa.array(np.bincount(inverse), pa.int64()),
+            "value_sum": pa.array(np.bincount(inverse, weights=vals),
+                                  pa.float64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("window_start_us")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("value_sum", alias_name="value_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start_us").cast(
+                pa.timestamp("us")),
+            "n_events": batch.column("n_events"),
+            "value_sum_cents": pc.cast(
+                pc.round(pc.multiply(batch.column("value_sum"), 100.0)),
+                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

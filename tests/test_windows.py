@@ -55,3 +55,38 @@ def test_tumbling_window(ray_session):
     assert [(r["window_start"], r["n_events"]) for r in out] == [
         (t0, 3), (t0 + datetime.timedelta(hours=1), 2),
         (t0 + datetime.timedelta(hours=2), 1)]
+
+
+def test_hopping_window_overlap(ray_session):
+    import datetime
+    import ray
+    from html_parser_ray.functions.windows import hopping_window_agg
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # one event at 10:00:00 and one at 10:50:00 — 1h windows hopping 15min
+    tbl = pa.table({
+        "ts": pa.array([base, base + datetime.timedelta(minutes=50)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    out = {r["window_start"]: (r["n_events"], r["value_sum_cents"])
+           for r in hopping_window_agg(ray.data.from_arrow(tbl),
+                                       window_s=3600,
+                                       hop_s=900).take_all()}
+    # event 1 (10:00) lands in windows starting 09:15, 09:30, 09:45, 10:00
+    # event 2 (10:50) in 10:00, 10:15, 10:30, 10:45 — 10:00 holds both
+    assert len(out) == 7
+    both = base
+    assert out[both] == (2, 300)
+    assert out[base - datetime.timedelta(minutes=45)] == (1, 100)
+    assert out[base + datetime.timedelta(minutes=45)] == (1, 200)
+
+
+def test_hopping_window_rejects_uneven_hop(ray_session):
+    import ray
+    import pytest as _pytest
+    from html_parser_ray.functions.windows import hopping_window_agg
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64())}))
+    with _pytest.raises(ValueError):
+        hopping_window_agg(ds, window_s=3600, hop_s=1000)
