@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-30 queries cover the engine surface per SURVEY.md §2.11: the HTML
+33 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 28 of 30 have value-checked DuckDB oracles; only the two simhash
+path. 31 of 33 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
@@ -254,6 +254,20 @@ def q_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds)
     kept = dedup_keep_canonical(ds, pairs)
+    return kept.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_clean_corpus(sf_dir: str):
+    """Flagship training-data cleaning composition: quality gate → exact
+    dedup → MinHash near-dedup, one compact feature pass + one payload
+    filter pass (pipelines/clean.py). SQL oracle: survivors are
+    quality-passing docs with no smaller quality-passing suffix-related
+    sibling (corpus has no exact dups; near-dup chains are the planted
+    `(' dup')+` suffix relation, pairwise within a chain)."""
+    from html_parser_ray.pipelines.clean import clean_corpus
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = clean_corpus(ds, min_ws_tokens=20)
     return kept.map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "minhash_dedup": q_minhash_dedup,
+        "clean_corpus": q_clean_corpus,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "main_content": q_main_content,
@@ -712,6 +727,31 @@ def oracle_sql() -> dict[str, str]:
             " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
             "     '( dup)+')) "
             "OR (LENGTH(d.text) < LENGTH(o.text) "
+            " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
+            " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
+            "     '( dup)+'))))"
+        ),
+        # cleaning composition: survivors = quality-passing docs with no
+        # smaller quality-passing suffix-related sibling (quality
+        # arithmetic identical to the quality_scores oracle)
+        "clean_corpus": (
+            "WITH f AS (SELECT doc_id, text, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_ws, "
+            "CASE WHEN LENGTH(text) = 0 THEN 0 ELSE "
+            "((LENGTH(text) - LENGTH(regexp_replace(text, '\\p{L}', '', "
+            "'g'))) * 20000 + LENGTH(text)) // (2 * LENGTH(text)) END "
+            "AS alpha_bp FROM documents), "
+            "q AS (SELECT doc_id, text FROM f "
+            "WHERE n_ws >= 20 AND alpha_bp >= 5000) "
+            "SELECT d.doc_id FROM q d WHERE NOT EXISTS ("
+            "SELECT 1 FROM q o WHERE o.doc_id < d.doc_id AND ("
+            "o.text = d.text OR "
+            "(LENGTH(o.text) < LENGTH(d.text) "
+            " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
+            " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
+            "     '( dup)+')) OR "
+            "(LENGTH(d.text) < LENGTH(o.text) "
             " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
             " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
             "     '( dup)+'))))"

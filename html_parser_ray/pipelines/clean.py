@@ -1,0 +1,162 @@
+"""End-to-end training-corpus cleaning pipeline.
+
+The canonical LLM-data use case this engine exists for: quality gate →
+exact dedup → MinHash near-dedup, composed so the PAYLOAD streams through
+exactly two passes regardless of corpus size:
+
+1. **Feature pass** (map_batches, payload in → compact rows out): per doc
+   one row ``(doc_id, q_ok, md5, sig)`` — quality decision (integer-bp
+   thresholds, same arithmetic as quality_batch), exact-dup hash, packed
+   512-byte MinHash signature. The side table is ~0.5 KB/doc and is
+   materialized for reuse (at real 100-TB scale: ``write_parquet`` it as
+   the checkpoint instead — the note in resumable.py applies).
+2. **Drop-set derivation** (id-only shuffles): band keys recomputed from
+   the stored signature + one extra ``md5:`` bucket so EXACT duplicates
+   surface as pairs with estimate 1.0 through the same LSH machinery;
+   bucket verify → pair set → connected components → per component every
+   non-min doc_id joins the drop set, as do quality failures. Identical
+   docs have identical signatures, so folding exact-dup pairs into the
+   near-dup component graph keeps the sequential filter-then-dedup
+   semantics (the transitive closure is unchanged).
+3. **Filter pass** (map_batches over the original dataset): one sorted
+   drop-id array broadcast via ray.put, vectorized searchsorted mask —
+   the payload moves once and never shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import (DEFAULT_BUCKET_CAP, _cap_bucket,
+                               connected_components, lsh_band_keys,
+                               minhash_signature)
+from ..functions.textstats import quality_counts
+
+
+def _quality_ok(text: str, min_ws_tokens: int, min_alpha_bp: int) -> bool:
+    f = quality_counts(text)
+    n_chars, n_ws = f[0], f[1]
+    alpha_bp = ((f[5] * 20000 + n_chars) // (2 * n_chars)
+                if n_chars else 0)
+    return n_ws >= min_ws_tokens and alpha_bp >= min_alpha_bp
+
+
+def clean_features(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
+                   num_perm: int = 64, shingle_n: int = 3):
+    """documents → compact (doc_id, q_ok, md5, sig) side table."""
+    def features(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        q_ok = [_quality_ok(t, min_ws_tokens, min_alpha_bp) for t in texts]
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        sigs = [struct.pack(f"<{num_perm}Q",
+                            *minhash_signature(t, num_perm, shingle_n))
+                for t in texts]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "q_ok": pa.array(q_ok, pa.bool_()),
+            "md5": pa.array(md5s, pa.string()),
+            "sig": pa.array(sigs, pa.binary()),
+        })
+
+    return ds.map_batches(features, batch_format="pyarrow")
+
+
+def _dedup_pairs_from_features(feat_ds, *, num_perm: int = 64,
+                               bands: int = 16,
+                               jaccard_threshold: float = 0.8,
+                               bucket_cap: int = DEFAULT_BUCKET_CAP):
+    """q_ok feature rows → (doc_a, doc_b) pairs covering BOTH exact dups
+    (md5 bucket, estimate 1.0) and MinHash near-dups (band buckets)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        out_key: list[str] = []
+        out_id: list[int] = []
+        out_sig: list[bytes] = []
+        for doc_id, ok, md5, sig in zip(batch.column("doc_id").to_pylist(),
+                                        batch.column("q_ok").to_pylist(),
+                                        batch.column("md5").to_pylist(),
+                                        batch.column("sig").to_pylist()):
+            if not ok:
+                continue
+            values = struct.unpack(f"<{num_perm}Q", sig)
+            for key in lsh_band_keys(list(values), bands):
+                out_key.append(key)
+                out_id.append(doc_id)
+                out_sig.append(sig)
+            out_key.append(f"md5:{md5}")
+            out_id.append(doc_id)
+            out_sig.append(sig)
+        return pa.table({"bucket": pa.array(out_key, pa.string()),
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "sig": pa.array(out_sig, pa.binary())})
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        bucket = group.column("bucket")[0].as_py()
+        rows = sorted({(i, s) for i, s in
+                       zip(group.column("doc_id").to_pylist(),
+                           group.column("sig").to_pylist())})
+        rows = _cap_bucket(rows, bucket_cap, bucket)
+        exact = bucket.startswith("md5:")
+        sigs = [np.frombuffer(s, dtype=np.uint64) for _i, s in rows]
+        out_a, out_b = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if exact or float((sigs[i] == sigs[j]).mean()) >= jaccard_threshold:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
+
+    pairs = (feat_ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(pairs_in_bucket, batch_format="pyarrow"))
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
+                 jaccard_threshold: float = 0.8, num_perm: int = 64,
+                 bands: int = 16):
+    """documents → surviving rows after quality gate + exact dedup +
+    MinHash near-dedup (min doc_id per duplicate component wins)."""
+    import ray
+
+    feats = clean_features(ds, min_ws_tokens=min_ws_tokens,
+                           min_alpha_bp=min_alpha_bp,
+                           num_perm=num_perm).materialize()
+
+    # drop-set pieces are doc_id-only arrays (8 B/doc, bounded by the
+    # failing/duplicated subset) — driver collection is the broadcast path
+    qfail = np.concatenate(
+        [b.filter(pc.invert(b.column("q_ok")))
+          .column("doc_id").to_numpy(zero_copy_only=False)
+         for b in feats.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)])
+
+    pairs = _dedup_pairs_from_features(
+        feats, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold)
+    comp = connected_components(pairs)
+    cc_drop = np.concatenate(
+        [b.filter(pc.not_equal(b.column("doc_id"), b.column("component")))
+          .column("doc_id").to_numpy(zero_copy_only=False)
+         for b in comp.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)])
+
+    drop = np.unique(np.concatenate([qfail, cc_drop]))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return batch.filter(pa.array(~(d[pos] == ids)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

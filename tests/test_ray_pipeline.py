@@ -526,3 +526,32 @@ def test_flagship_extract_plan_is_shuffle_free(ray_session):
     stats = ds.stats()
     assert "AllToAll" not in stats
     assert "Sort" not in stats
+
+
+def test_clean_corpus_pipeline(ray_session):
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")                     # 20 words, all alpha
+    docs = {
+        1: long,                                 # keeps (canonical)
+        2: long + " dup",                        # near-dup of 1 -> drop
+        3: "too short",                          # quality fail -> drop
+        4: ("uniform victor whiskey xray yankee zulu one two three four "
+            "five six seven eight nine ten eleven twelve thirteen "
+            "fourteen"),                         # distinct text, keeps
+        5: ("uniform victor whiskey xray yankee zulu one two three four "
+            "five six seven eight nine ten eleven twelve thirteen "
+            "fourteen"),                         # exact dup of 4 -> drop
+        6: "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20",
+                                                 # no alpha -> drop
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    kept = clean_corpus(ray.data.from_arrow(tbl), min_ws_tokens=20)
+    rows = kept.take_all()
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
+    assert all(r["text"] == docs[r["doc_id"]] for r in rows)
