@@ -49,6 +49,7 @@ def _cap_bucket(rows: list, cap: int, bucket_key: str) -> list:
 
 # 64-bit multiply-shift hash seeds (deterministic, no RNG at run time)
 _MASK64 = (1 << 64) - 1
+_MASK63 = (1 << 63) - 1
 _MINHASH_SEEDS = [((0x9E3779B97F4A7C15 + 0x6C62272E07BB0142 * i) & _MASK64) | 1
                   for i in range(64)]
 
@@ -473,10 +474,12 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
                 mix = (u * np.uint64(0x9E3779B97F4A7C15)
                        ^ v * np.uint64(0xC2B2AE3D27D4EB4F))
                 s = int(mix.sum(dtype=np.uint64)) if len(mix) else 0
-            return (acc[0] + len(u), (acc[1] + s) & _MASK64)
+            # mask to 63 bits so the aggregate result stays int64-
+            # representable (avoids Ray's pickled-object fallback)
+            return (acc[0] + len(u), (acc[1] + s) & _MASK63)
         agg = AggregateFn(
             init=lambda _k: (0, 0),
-            merge=lambda a, b: (a[0] + b[0], (a[1] + b[1]) & _MASK64),
+            merge=lambda a, b: (a[0] + b[0], (a[1] + b[1]) & _MASK63),
             name="edge_sig",
             accumulate_block=acc_batch)
         row = edges.aggregate(agg)
