@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-33 queries cover the engine surface per SURVEY.md §2.11: the HTML
+32 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 31 of 33 have value-checked DuckDB oracles; only the two simhash
+path. 30 of 32 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
