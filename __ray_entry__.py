@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-32 queries cover the engine surface per SURVEY.md §2.11: the HTML
+33 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 30 of 32 have value-checked DuckDB oracles; only the two simhash
+path. 31 of 33 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
@@ -559,6 +559,56 @@ def q_hopping_window(sf_dir: str):
     return hopping_window_agg(ds, window_s=3600, hop_s=900)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-style join pipeline: orders ⋈ customer with the
+    hash-partitioned Dataset.join (both sides large — each shuffles once
+    on the key), then the 25-row nation table as a BROADCAST lookup (no
+    shuffle), then per-batch partial aggregation before the tiny final
+    groupby. Demonstrates both join strategies from the scale policy."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from html_parser_ray.functions.joins import broadcast_lookup, hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, customer, on="o_custkey",
+                       right_on="c_custkey", num_partitions=16)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    named = broadcast_lookup(joined, nation, key="c_nationkey",
+                             lookup_key="n_nationkey",
+                             value_cols=["n_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names = batch.column("n_name").to_pylist()
+        prices = batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)
+        import numpy as np
+        uniq, inverse = np.unique(np.asarray(names, dtype=object),
+                                  return_inverse=True)
+        return pa.table({
+            "n_name": pa.array(uniq.tolist(), pa.string()),
+            "n_orders": pa.array(np.bincount(inverse), pa.int64()),
+            "revenue": pa.array(
+                np.bincount(inverse, weights=prices), pa.float64()),
+        })
+
+    agg = (named.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b.column("n_name"),
+            "n_orders": b.column("n_orders"),
+            "revenue_cents": pc.cast(
+                pc.round(pc.multiply(b.column("revenue"), 100.0)),
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -648,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "revenue_by_nation": q_revenue_by_nation,
         "top_users_by_value": q_top_users_by_value,
         "pricing_summary": q_pricing_summary,
     }
@@ -943,6 +994,13 @@ def oracle_sql() -> dict[str, str]:
             "900000000) AS window_start, COUNT(*) AS n_events, "
             "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
             "FROM events, (SELECT unnest(range(4)) AS k) k GROUP BY 1"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS "
+            "revenue_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(round(SUM(value) * 100) AS BIGINT) AS "

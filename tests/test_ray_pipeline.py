@@ -555,3 +555,25 @@ def test_clean_corpus_pipeline(ray_session):
     rows = kept.take_all()
     assert sorted(r["doc_id"] for r in rows) == [1, 4]
     assert all(r["text"] == docs[r["doc_id"]] for r in rows)
+
+
+def test_hash_join_and_broadcast_lookup(ray_session):
+    import ray
+    from html_parser_ray.functions.joins import broadcast_lookup, hash_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "v": pa.array([10, 20, 21, 30, 90], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 3, 4], pa.int64()),
+        "w": pa.array(["a", "b", "c", "d"], pa.string())}))
+    out = hash_join(left, right, on="k", right_on="rk",
+                    num_partitions=4).take_all()
+    got = sorted((r["k"], r["v"], r["w"]) for r in out)
+    assert got == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b"), (3, 30, "c")]
+
+    dim = pa.table({"dk": pa.array([3, 1, 2], pa.int64()),
+                    "name": pa.array(["three", "one", "two"], pa.string())})
+    looked = broadcast_lookup(left, dim, key="k", lookup_key="dk",
+                              value_cols=["name"]).take_all()
+    got2 = sorted((r["k"], r["name"]) for r in looked)
+    assert got2 == [(1, "one"), (2, "two"), (2, "two"), (3, "three")]
