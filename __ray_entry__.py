@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-33 queries cover the engine surface per SURVEY.md §2.11: the HTML
+34 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 31 of 33 have value-checked DuckDB oracles; only the two simhash
+path. 32 of 34 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
@@ -609,6 +609,40 @@ def q_revenue_by_nation(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (backward): each purchase event attributed to the same
+    user's most recent prior signup — the custom operator composition
+    (tag + union + one key co-shuffle + vectorized per-group
+    searchsorted) vs DuckDB's native ASOF JOIN."""
+    from html_parser_ray.functions.joins import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(_purchase_project, batch_format="pyarrow")
+    signups = ev.map_batches(_signup_project, batch_format="pyarrow")
+    out = asof_join(purchases, signups, on="user_id", ts="ts",
+                    right_value_cols=["signup_ts"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "signup_ts"]),
+        batch_format="pyarrow")
+
+
+def _purchase_project(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    f = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+    return f.select(["event_id", "user_id", "ts"])
+
+
+def _signup_project(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    f = batch.filter(pc.equal(batch.column("event_type"), "signup"))
+    return pa.table({
+        "user_id": f.column("user_id"),
+        "ts": f.column("ts"),
+        "signup_ts": f.column("ts"),
+    })
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -699,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "revenue_by_nation": q_revenue_by_nation,
+        "purchase_attribution": q_purchase_attribution,
         "top_users_by_value": q_top_users_by_value,
         "pricing_summary": q_pricing_summary,
     }
@@ -994,6 +1029,13 @@ def oracle_sql() -> dict[str, str]:
             "900000000) AS window_start, COUNT(*) AS n_events, "
             "CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_cents "
             "FROM events, (SELECT unnest(range(4)) AS k) k GROUP BY 1"
+        ),
+        # DuckDB native ASOF JOIN as the oracle for the composed operator
+        "purchase_attribution": (
+            "SELECT p.event_id, s.ts AS signup_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND p.ts >= s.ts"
         ),
         "revenue_by_nation": (
             "SELECT n_name, COUNT(*) AS n_orders, "

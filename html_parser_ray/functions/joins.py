@@ -58,3 +58,73 @@ def broadcast_lookup(ds, lookup_table: pa.Table, *, key: str,
         return batch
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def asof_join(left, right, *, on: str, ts: str,
+              right_value_cols: list[str], right_ts: str | None = None):
+    """Backward as-of join: for each left row attach, from the right side,
+    the row of the same ``on`` key with the LARGEST ``right_ts`` ≤ the
+    left row's ``ts`` (inner semantics — left rows with no prior right row
+    are dropped), matching SQL ``ASOF JOIN … ON l.k = r.k AND l.ts >= r.ts``.
+
+    Ray Data has no native as-of join; this is the documented composition:
+    tag both sides, schema-pad, union, ONE co-shuffle on the key
+    (groupby), then a vectorized sort + searchsorted inside each group.
+    Partitioning assumption: all rows of one key fit in one group — holds
+    for per-user/per-entity event streams; salt the key upstream if a
+    single entity's history exceeds a worker."""
+    import pyarrow.compute as pc
+
+    left_schema = left.schema()
+    lcols = list(left_schema.names)
+    rv_types = {c: right.schema().base_schema.field(c).type
+                for c in right_value_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in lcols}
+        for c in right_value_cols:
+            cols[c] = pa.nulls(len(batch), rv_types[c])
+        cols["__side"] = pa.array([0] * len(batch), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c == on:
+                cols[c] = batch.column(on).cast(
+                    left_schema.base_schema.field(on).type)
+            elif c == ts:
+                cols[c] = batch.column(right_ts or ts).cast(
+                    left_schema.base_schema.field(ts).type)
+            else:
+                cols[c] = pa.nulls(len(batch),
+                                   left_schema.base_schema.field(c).type)
+        for c in right_value_cols:
+            cols[c] = batch.column(c)
+        cols["__side"] = pa.array([1] * len(batch), pa.int8())
+        return pa.table(cols)
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    def per_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts_all = group.column(ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        l_mask = side == 0
+        r_mask = ~l_mask
+        if not r_mask.any() or not l_mask.any():
+            return group.slice(0, 0).drop_columns(["__side"])
+        r_ts = ts_all[r_mask]
+        r_order = np.argsort(r_ts, kind="stable")
+        r_ts = r_ts[r_order]
+        idx = np.searchsorted(r_ts, ts_all[l_mask], side="right") - 1
+        keep = idx >= 0
+        l_idx = np.flatnonzero(l_mask)[keep]
+        r_idx = np.flatnonzero(r_mask)[r_order][idx[keep]]
+        out = {c: group.column(c).take(pa.array(l_idx)) for c in lcols}
+        for c in right_value_cols:
+            out[c] = group.column(c).take(pa.array(r_idx))
+        return pa.table(out)
+
+    return tagged.groupby(on).map_groups(per_group, batch_format="pyarrow")

@@ -577,3 +577,42 @@ def test_hash_join_and_broadcast_lookup(ray_session):
                               value_cols=["name"]).take_all()
     got2 = sorted((r["k"], r["name"]) for r in looked)
     assert got2 == [(1, "one"), (2, "two"), (2, "two"), (3, "three")]
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import datetime
+    import ray
+    from html_parser_ray.functions.joins import asof_join
+    b = datetime.datetime(2024, 1, 1)
+
+    def dm(m):
+        return b + datetime.timedelta(minutes=m)
+
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([dm(10), dm(30), dm(5), dm(1)], pa.timestamp("us")),
+        "event_id": pa.array([100, 101, 102, 103], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([dm(0), dm(20), dm(50)], pa.timestamp("us")),
+        "signup_ts": pa.array([dm(0), dm(20), dm(50)],
+                              pa.timestamp("us"))}))
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    right_value_cols=["signup_ts"]).take_all()
+    got = sorted((r["event_id"], r["signup_ts"]) for r in out)
+    # 100 -> signup at t0; 101 -> newer signup at t20; 102's only signup
+    # is in the future (dropped); 103's user has no signups (dropped);
+    # an equal timestamp matches (>= semantics)
+    assert got == [(100, dm(0)), (101, dm(20))]
+    # exact-tie: left.ts == right.ts matches
+    tie = asof_join(
+        ray.data.from_arrow(pa.table({
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([dm(5)], pa.timestamp("us")),
+            "event_id": pa.array([1], pa.int64())})),
+        ray.data.from_arrow(pa.table({
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([dm(5)], pa.timestamp("us")),
+            "signup_ts": pa.array([dm(5)], pa.timestamp("us"))})),
+        on="user_id", ts="ts", right_value_cols=["signup_ts"]).take_all()
+    assert len(tie) == 1 and tie[0]["signup_ts"] == dm(5)
