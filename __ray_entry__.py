@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-34 queries cover the engine surface per SURVEY.md §2.11: the HTML
+35 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 32 of 34 have value-checked DuckDB oracles; only the two simhash
+path. 33 of 35 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
@@ -643,6 +643,34 @@ def _signup_project(batch: pa.Table) -> pa.Table:
     })
 
 
+def q_purchase_error_window(sf_dir: str):
+    """Range join: every (purchase, error) pair of the same user with the
+    error within ±4 hours of the purchase — the interval-join
+    composition vs a SQL BETWEEN join."""
+    from html_parser_ray.functions.joins import range_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(_purchase_project, batch_format="pyarrow")
+
+    def err_project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        f = batch.filter(pc.equal(batch.column("event_type"), "error"))
+        return pa.table({
+            "user_id": f.column("user_id"),
+            "ts": f.column("ts"),
+            "err_event_id": f.column("event_id"),
+        })
+
+    errors = ev.map_batches(err_project, batch_format="pyarrow")
+    out = range_join(purchases, errors, on="user_id", ts="ts",
+                     lo_us=-14_400_000_000, hi_us=14_400_000_000,
+                     right_value_cols=["err_event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "err_event_id"]),
+        batch_format="pyarrow")
+
+
 def q_top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -734,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "purchase_attribution": q_purchase_attribution,
+        "purchase_error_window": q_purchase_error_window,
         "top_users_by_value": q_top_users_by_value,
         "pricing_summary": q_pricing_summary,
     }
@@ -1036,6 +1065,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "purchase_error_window": (
+            "SELECT p.event_id, e.event_id AS err_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+            "ON p.user_id = e.user_id AND e.ts BETWEEN "
+            "p.ts - INTERVAL 240 MINUTE AND p.ts + INTERVAL 240 MINUTE"
         ),
         "revenue_by_nation": (
             "SELECT n_name, COUNT(*) AS n_orders, "

@@ -129,7 +129,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     for name in ["extract_rollup_by_lang", "exact_dedup", "token_counts",
                  "quality_scores", "langid", "simhash",
                  "minhash_neardup_pairs", "minhash_dedup", "clean_corpus", "ann_topk",
-                 "ann_ivf_topk", "pricing_summary", "revenue_by_nation", "purchase_attribution", "sessionize",
+                 "ann_ivf_topk", "pricing_summary", "revenue_by_nation", "purchase_attribution", "purchase_error_window", "sessionize",
                  "tumbling_window", "hopping_window", "outline", "main_content",
                  "pdf_extract", "serialize_roundtrip", "image_features"]:
         fn = qs[name]

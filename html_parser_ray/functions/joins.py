@@ -128,3 +128,77 @@ def asof_join(left, right, *, on: str, ts: str,
         return pa.table(out)
 
     return tagged.groupby(on).map_groups(per_group, batch_format="pyarrow")
+
+
+def range_join(left, right, *, on: str, ts: str, lo_us: int, hi_us: int,
+               right_value_cols: list[str], right_ts: str | None = None):
+    """Interval range join: every (left, right) pair of the same ``on``
+    key with ``right_ts`` ∈ [left.ts + lo_us, left.ts + hi_us]
+    (microsecond offsets, inclusive). One row per match.
+
+    Same shape as asof_join — tag + union + one key co-shuffle, then per
+    group a vectorized sort and TWO searchsorted bound lookups; match
+    expansion uses a repeat/arange flattening rather than a Python loop.
+    Output size is data-dependent (each left row may match many right
+    rows); keep the window tight or pre-filter the right side."""
+    left_schema = left.schema()
+    lcols = list(left_schema.names)
+    rv_types = {c: right.schema().base_schema.field(c).type
+                for c in right_value_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in lcols}
+        for c in right_value_cols:
+            cols[c] = pa.nulls(len(batch), rv_types[c])
+        cols["__side"] = pa.array([0] * len(batch), pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c == on:
+                cols[c] = batch.column(on).cast(
+                    left_schema.base_schema.field(on).type)
+            elif c == ts:
+                cols[c] = batch.column(right_ts or ts).cast(
+                    left_schema.base_schema.field(ts).type)
+            else:
+                cols[c] = pa.nulls(len(batch),
+                                   left_schema.base_schema.field(c).type)
+        for c in right_value_cols:
+            cols[c] = batch.column(c)
+        cols["__side"] = pa.array([1] * len(batch), pa.int8())
+        return pa.table(cols)
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    def per_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts_all = group.column(ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        l_mask = side == 0
+        r_mask = ~l_mask
+        if not r_mask.any() or not l_mask.any():
+            return group.slice(0, 0).drop_columns(["__side"])
+        r_ts = ts_all[r_mask]
+        r_order = np.argsort(r_ts, kind="stable")
+        r_ts = r_ts[r_order]
+        l_ts = ts_all[l_mask]
+        starts = np.searchsorted(r_ts, l_ts + lo_us, side="left")
+        ends = np.searchsorted(r_ts, l_ts + hi_us, side="right")
+        counts = ends - starts
+        keep = counts > 0
+        # flatten matches: left row i repeated counts[i] times, right
+        # indices are contiguous runs [starts[i], ends[i])
+        l_rows = np.repeat(np.flatnonzero(l_mask)[keep], counts[keep])
+        offs = np.concatenate([np.arange(s, e) for s, e in
+                               zip(starts[keep], ends[keep])]) \
+            if keep.any() else np.array([], dtype=np.int64)
+        r_rows = np.flatnonzero(r_mask)[r_order][offs]
+        out = {c: group.column(c).take(pa.array(l_rows)) for c in lcols}
+        for c in right_value_cols:
+            out[c] = group.column(c).take(pa.array(r_rows))
+        return pa.table(out)
+
+    return tagged.groupby(on).map_groups(per_group, batch_format="pyarrow")

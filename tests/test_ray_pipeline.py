@@ -616,3 +616,30 @@ def test_asof_join_backward_semantics(ray_session):
             "signup_ts": pa.array([dm(5)], pa.timestamp("us"))})),
         on="user_id", ts="ts", right_value_cols=["signup_ts"]).take_all()
     assert len(tie) == 1 and tie[0]["signup_ts"] == dm(5)
+
+
+def test_range_join_window_semantics(ray_session):
+    import datetime
+    import ray
+    from html_parser_ray.functions.joins import range_join
+    b = datetime.datetime(2024, 1, 1)
+
+    def dm(m):
+        return b + datetime.timedelta(minutes=m)
+
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([dm(60), dm(60)], pa.timestamp("us")),
+        "event_id": pa.array([100, 200], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([dm(49), dm(50), dm(70), dm(71), dm(300)],
+                       pa.timestamp("us")),
+        "rid": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    out = range_join(left, right, on="user_id", ts="ts",
+                     lo_us=-10 * 60_000_000, hi_us=10 * 60_000_000,
+                     right_value_cols=["rid"]).take_all()
+    got = sorted((r["event_id"], r["rid"]) for r in out)
+    # ±10 min inclusive: rids 2 (t-10) and 3 (t+10) match, 1/4 just
+    # outside, user 2's only candidate is far outside
+    assert got == [(100, 2), (100, 3)]
