@@ -595,7 +595,9 @@ class TreeBuilder:
         if stack and stack[-1].ns == HTML_NS and (
                 len(stack) > 1 or self.fragment_context is None):
             mode = self.mode
-            if kind == CHARS and mode in _SEGMENTED_MODES:
+            if mode == IN_BODY:   # hottest mode: kind-indexed direct call
+                _IN_BODY_KIND[kind](self, token)
+            elif kind == CHARS and mode in _SEGMENTED_MODES:
                 self._process(token)
             else:
                 _MODE_HANDLERS[mode](self, token)
@@ -1005,45 +1007,40 @@ class TreeBuilder:
         self._pop_until_name("p")
 
     def _m_in_body(self, token: tuple) -> None:
-        kind = token[0]
-        if kind == CHARS:
-            data = token[1]
-            start = token[2]
-            if self.ignore_next_lf:
-                self.ignore_next_lf = False
-                if data.startswith("\n"):
-                    data = data[1:]
-                    start += 1  # parse5: the skipped LF is not in the span
-                    if not data:
-                        return
-            if "\x00" in data:
-                self._err("unexpected-null-character")
-                data = data.replace("\x00", "")
+        _IN_BODY_KIND[token[0]](self, token)
+
+    def _ib_chars(self, token: tuple) -> None:
+        data = token[1]
+        start = token[2]
+        if self.ignore_next_lf:
+            self.ignore_next_lf = False
+            if data.startswith("\n"):
+                data = data[1:]
+                start += 1  # parse5: the skipped LF is not in the span
                 if not data:
                     return
-            self._reconstruct_afe()
-            self._insert_text(data, start, token[3])
-            if not is_all_ws(data):
-                self.frameset_ok = False
-            return
-        if kind == COMMENT:
-            self._insert_at(self._appropriate_place(),
-                            Comment(token[1], token[2], token[3]))
-            return
-        if kind == DOCTYPE:
-            self._err("unexpected-doctype")
-            return
-        if kind == START:
-            self._in_body_start(token)
-            return
-        if kind == END:
-            self._in_body_end(token)
-            return
-        if kind == EOF:
-            if self.template_modes:
-                self._m_in_template(token)
+        if "\x00" in data:
+            self._err("unexpected-null-character")
+            data = data.replace("\x00", "")
+            if not data:
                 return
-            self._stop_parsing()
+        self._reconstruct_afe()
+        self._insert_text(data, start, token[3])
+        if not is_all_ws(data):
+            self.frameset_ok = False
+
+    def _ib_comment(self, token: tuple) -> None:
+        self._insert_at(self._appropriate_place(),
+                        Comment(token[1], token[2], token[3]))
+
+    def _ib_doctype(self, token: tuple) -> None:
+        self._err("unexpected-doctype")
+
+    def _ib_eof(self, token: tuple) -> None:
+        if self.template_modes:
+            self._m_in_template(token)
+            return
+        self._stop_parsing()
 
     # ---- in-body start tags: one handler per tag family, dispatched via
     # the module-level _IN_BODY_START table (built in priority order after
@@ -2517,3 +2514,7 @@ def _build_in_body_tables():
 _IN_BODY_START, _IN_BODY_END = _build_in_body_tables()
 _IBS_DEFAULT = TreeBuilder._ibs_default
 _IBE_DEFAULT = TreeBuilder._in_body_any_other_end
+# kind-indexed (CHARS=0 START=1 END=2 COMMENT=3 DOCTYPE=4 EOF=5)
+_IN_BODY_KIND = [TreeBuilder._ib_chars, TreeBuilder._in_body_start,
+                 TreeBuilder._in_body_end, TreeBuilder._ib_comment,
+                 TreeBuilder._ib_doctype, TreeBuilder._ib_eof]
