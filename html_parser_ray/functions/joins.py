@@ -73,8 +73,6 @@ def asof_join(left, right, *, on: str, ts: str,
     Partitioning assumption: all rows of one key fit in one group — holds
     for per-user/per-entity event streams; salt the key upstream if a
     single entity's history exceeds a worker."""
-    import pyarrow.compute as pc
-
     left_schema = left.schema()
     lcols = list(left_schema.names)
     rv_types = {c: right.schema().base_schema.field(c).type
