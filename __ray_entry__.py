@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-35 queries cover the engine surface per SURVEY.md §2.11: the HTML
+36 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -13,7 +13,7 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 33 of 35 have value-checked DuckDB oracles; only the two simhash
+path. 34 of 36 have value-checked DuckDB oracles; only the two simhash
 queries are rows-only (blake2b signatures are not SQL-expressible).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
@@ -223,6 +223,36 @@ def q_embedding_neardup_pairs(sf_dir: str):
     # defaults: 16-bit random-hyperplane sign-LSH × 4 tables; exact copies
     # share every table's bucket, so recall for the planted set is 1.0
     return embedding_neardup_pairs(aug, threshold=0.95)
+
+
+def q_embedding_dedup(sf_dir: str):
+    """End-to-end embedding near-dedup: hyperplane-LSH pairs on the
+    exact-copy-augmented table → connected components → keep min vec_id
+    per component. Copies live at vec_id+1M, so the survivors are exactly
+    the original vec_ids — SQL-trivial while the full pair/CC/filter
+    machinery runs for real."""
+    from html_parser_ray.functions.dedup import (dedup_keep_canonical,
+                                                 embedding_neardup_pairs)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def add_copy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        shifted = pa.table({
+            "vec_id": pc.add(batch.column("vec_id"), 1_000_000),
+            "embedding": batch.column("embedding"),
+        })
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]),
+                                 shifted])
+
+    aug = ds.map_batches(add_copy, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(aug, threshold=0.95)
+    pair_ids = pairs.map_batches(
+        lambda b: pa.table({"doc_a": b.column("vec_a"),
+                            "doc_b": b.column("vec_b")}),
+        batch_format="pyarrow")
+    kept = dedup_keep_canonical(aug, pair_ids, id_col="vec_id")
+    return kept.map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -744,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_dedup": q_embedding_dedup,
         "main_content": q_main_content,
         "pdf_extract": q_pdf_extract,
         "outline": q_outline,
@@ -816,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, "
             "10000 AS cosine_bp FROM embeddings"
         ),
+        # every copy (vec_id+1M) collapses onto its original
+        "embedding_dedup": "SELECT vec_id FROM embeddings",
         # the synthetic corpus's planted near-dups are `text || (' dup')+`
         # clones (incl. one dup-of-dup chain) — the pair set is the
         # suffix-relation closure; see q_minhash_neardup_pairs docstring
