@@ -7,8 +7,51 @@
 //   in : {"id", "html"}
 //   out: {"id", "spans": [[path, start, end], ...], "attrs": [[path, name, start, end], ...]}
 
+// Fragment cases: pass {"fragment": "<tag>"} — the context element is
+// built exactly like oracle.mjs / the reference's buildTreeFromHtml
+// (parsed out of a context document / fragment, not a detached element —
+// detached contexts change reset-insertion-mode behavior).
+
 import { createInterface } from "node:readline";
 import { Parser } from "/root/reference/src/internal/vendor/parse5/parser/index.js";
+
+function parseFragment(context, html, options) {
+  const parser = Parser.getFragmentParser(context, options);
+  parser.tokenizer.write(html, true);
+  return parser.getFragment();
+}
+
+const CONTEXT_DOCUMENT_HTML =
+  "<!doctype html><html><head><title>x</title></head><body><table><tbody><tr><td></td></tr><caption></caption><colgroup></colgroup></table><frameset></frameset></body></html>";
+const CONTEXT_DOCUMENT_FRAMESET =
+  "<!doctype html><html><frameset></frameset></html>";
+
+function findElement(node, tagName) {
+  for (const child of node.childNodes ?? []) {
+    if (child.nodeName === tagName) return child;
+    if (child.childNodes) {
+      const nested = findElement(child, tagName);
+      if (nested) return nested;
+    }
+  }
+  return null;
+}
+
+function fragmentContext(tagName) {
+  const t = tagName.trim().toLowerCase();
+  if (!t) return null;
+  if (t === "frameset") {
+    return findElement(Parser.parse(CONTEXT_DOCUMENT_FRAMESET), t);
+  }
+  if (["html", "head", "body", "title"].includes(t)) {
+    return findElement(Parser.parse(CONTEXT_DOCUMENT_HTML), t);
+  }
+  const frag = parseFragment(null, `<${t}></${t}>`, {});
+  for (const child of frag.childNodes) {
+    if (child.nodeName === t) return child;
+  }
+  return null;
+}
 
 function collect(node, path, spans, attrs) {
   const kids = node.childNodes ?? [];
@@ -42,10 +85,17 @@ for await (const line of rl) {
   const c = JSON.parse(line);
   let out;
   try {
-    const doc = Parser.parse(c.html, { sourceCodeLocationInfo: true, scriptingEnabled: true });
+    let root;
+    if (c.fragment) {
+      root = parseFragment(
+        fragmentContext(c.fragment), c.html,
+        { sourceCodeLocationInfo: true, scriptingEnabled: true });
+    } else {
+      root = Parser.parse(c.html, { sourceCodeLocationInfo: true, scriptingEnabled: true });
+    }
     const spans = [];
     const attrs = [];
-    collect(doc, "", spans, attrs);
+    collect(root, "", spans, attrs);
     out = { id: c.id, spans, attrs };
   } catch (err) {
     out = { id: c.id, error: String(err) };
