@@ -121,14 +121,31 @@ def _dedup_pairs_from_features(feat_ds, *, num_perm: int = 64,
 
 def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
                  jaccard_threshold: float = 0.8, num_perm: int = 64,
-                 bands: int = 16):
+                 bands: int = 16, checkpoint_dir: str | None = None):
     """documents → surviving rows after quality gate + exact dedup +
-    MinHash near-dedup (min doc_id per duplicate component wins)."""
+    MinHash near-dedup (min doc_id per duplicate component wins).
+
+    ``checkpoint_dir``: persist the compact feature table as parquet and
+    REUSE it on re-runs (presence of the ``_DONE`` marker skips the
+    feature pass entirely) — the resumability path for the expensive scan
+    at real scale, where in-memory materialize() would pin ~0.5 KB/doc in
+    the object store across the whole run."""
     import ray
 
-    feats = clean_features(ds, min_ws_tokens=min_ws_tokens,
+    if checkpoint_dir is not None:
+        import os
+        marker = os.path.join(checkpoint_dir, "_DONE")
+        if not os.path.exists(marker):
+            clean_features(ds, min_ws_tokens=min_ws_tokens,
                            min_alpha_bp=min_alpha_bp,
-                           num_perm=num_perm).materialize()
+                           num_perm=num_perm).write_parquet(checkpoint_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        feats = ray.data.read_parquet(checkpoint_dir)
+    else:
+        feats = clean_features(ds, min_ws_tokens=min_ws_tokens,
+                               min_alpha_bp=min_alpha_bp,
+                               num_perm=num_perm).materialize()
 
     # drop-set pieces are doc_id-only arrays (8 B/doc, bounded by the
     # failing/duplicated subset) — driver collection is the broadcast path

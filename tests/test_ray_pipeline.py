@@ -643,3 +643,27 @@ def test_range_join_window_semantics(ray_session):
     # ±10 min inclusive: rids 2 (t-10) and 3 (t+10) match, 1/4 just
     # outside, user 2's only candidate is far outside
     assert got == [(100, 2), (100, 3)]
+
+
+def test_clean_corpus_checkpoint_reuse(ray_session, tmp_path):
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([long, long + " dup"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    ckpt = str(tmp_path / "feats")
+    kept = sorted(r["doc_id"] for r in
+                  clean_corpus(ds, min_ws_tokens=20,
+                               checkpoint_dir=ckpt).take_all())
+    assert kept == [1]
+    assert os.path.exists(os.path.join(ckpt, "_DONE"))
+    # second run reuses the checkpoint (feature pass skipped) and agrees
+    kept2 = sorted(r["doc_id"] for r in
+                   clean_corpus(ds, min_ws_tokens=20,
+                                checkpoint_dir=ckpt).take_all())
+    assert kept2 == [1]
