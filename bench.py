@@ -107,10 +107,24 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def bench_main_content_cc(sf_dir: str) -> float:
+# This VM's wall-clock drifts ±20–35% with host load (BASELINE.md), so a
+# single-run bench cannot distinguish regression from noise (the r2 verdict's
+# ask). Every headline number is the MEDIAN of GRAFT_BENCH_REPS (default 3)
+# same-session runs, with min/max disclosed in the output.
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+
+
+def _median_timed(fn, reps: int = BENCH_REPS) -> dict:
+    times = sorted(_timed(fn) for _ in range(reps))
+    mid = len(times) // 2
+    median = times[mid] if reps % 2 else (times[mid - 1] + times[mid]) / 2
+    return {"median": median, "min": times[0], "max": times[-1],
+            "reps": reps}
+
+
+def bench_main_content_cc(sf_dir: str) -> dict:
     """Boilerplate-strip throughput over the SAME CC-scale corpus as the
-    flagship (real chrome to classify, not the 300-B documents rows);
-    returns elapsed seconds for the full corpus."""
+    flagship (real chrome to classify, not the 300-B documents rows)."""
     import ray
     from html_parser_ray.stages.main_content import main_content_pages
     sf = _sf_label(sf_dir)
@@ -118,14 +132,14 @@ def bench_main_content_cc(sf_dir: str) -> float:
     pages = ray.data.read_parquet(
         corpus, columns=["url", "html"],
         override_num_blocks=max(64, NUM_CPUS * 4))
-    return _timed(lambda: _consume(main_content_pages(pages)))
+    return _median_timed(lambda: _consume(main_content_pages(pages)))
 
 
-def bench_queries(sf_dir: str) -> dict[str, float]:
+def bench_queries(sf_dir: str) -> dict[str, dict]:
     sys.path.insert(0, REPO)
     import __ray_entry__ as em
     qs = em.queries()
-    times: dict[str, float] = {}
+    times: dict[str, dict] = {}
     for name in ["extract_rollup_by_lang", "exact_dedup", "token_counts",
                  "quality_scores", "langid", "simhash",
                  "minhash_neardup_pairs", "minhash_dedup", "clean_corpus", "ann_topk",
@@ -133,7 +147,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
                  "tumbling_window", "hopping_window", "outline", "main_content",
                  "pdf_extract", "serialize_roundtrip", "image_features"]:
         fn = qs[name]
-        times[name] = _timed(lambda: _consume(fn(sf_dir)))
+        times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)
     return times
 
@@ -150,10 +164,16 @@ def run_single(sf_dir: str, num_cpus: int, extract_only: bool = False) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        result = {"extract": bench_extract(sf_dir)}
-        if not extract_only:
-            result["queries"] = bench_queries(sf_dir)
-        return result
+        if extract_only:
+            # --scaling legs: one run per FRESH subprocess; the scaling
+            # driver takes medians across processes instead
+            return {"extract": bench_extract(sf_dir)}
+        runs = sorted((bench_extract(sf_dir) for _ in range(BENCH_REPS)),
+                      key=lambda r: r["sec"])
+        ext = dict(runs[len(runs) // 2])        # median-by-elapsed run
+        ext.update({"sec_min": runs[0]["sec"], "sec_max": runs[-1]["sec"],
+                    "reps": BENCH_REPS})
+        return {"extract": ext, "queries": bench_queries(sf_dir)}
     finally:
         ray.shutdown()
 
@@ -261,12 +281,18 @@ def main() -> None:
     out = run_single(SF_DIR, NUM_CPUS)
     ext = out["extract"]
     queries = {"extract": round(ext["sec"], 3)}
-    queries.update({k: round(v, 3) for k, v in out["queries"].items()})
+    queries.update({k: round(v["median"], 3)
+                    for k, v in out["queries"].items()})
+    spread = {"extract": [round(ext["sec_min"], 3), round(ext["sec_max"], 3)]}
+    spread.update({k: [round(v["min"], 3), round(v["max"], 3)]
+                   for k, v in out["queries"].items()})
     print(json.dumps({
-        "metric": "extraction throughput (docs/sec)",
+        "metric": f"extraction throughput (docs/sec, median of {BENCH_REPS})",
         "value": round(ext["docs_per_sec"], 2),
         "unit": "sec",
         "queries": queries,
+        "queries_min_max": spread,
+        "bench_reps": BENCH_REPS,
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "extract_docs": ext["docs"],

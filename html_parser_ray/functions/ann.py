@@ -111,11 +111,13 @@ def ivf_train(ds, *, dim: int, n_cells: int = 16, sample_size: int = 8192,
     # seeded init: deterministic distinct sample positions
     state = np.uint64(seed)
     picks = []
-    while len(picks) < min(n_cells, n):
-        state = state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
-        idx = int(state >> np.uint64(33)) % n
-        if idx not in picks:
-            picks.append(idx)
+    with np.errstate(over="ignore"):   # uint64 wraparound IS the LCG
+        while len(picks) < min(n_cells, n):
+            state = (state * np.uint64(6364136223846793005)
+                     + np.uint64(1442695040888963407))
+            idx = int(state >> np.uint64(33)) % n
+            if idx not in picks:
+                picks.append(idx)
     cents = vecs[picks].copy()
     if len(cents) < n_cells:   # tiny sample: pad with deterministic units
         cents = np.concatenate(

@@ -62,16 +62,42 @@ def hash_bytes(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
 
 
+# Per-process word-hash memo: web text is zipfian, so across the batches one
+# worker sees, the same words recur millions of times — a dict hit replaces a
+# blake2b call + struct.unpack in the inner loop of every minhash / simhash /
+# clean query. Bounded (cleared when full) so a pathological vocabulary can't
+# grow worker heap without limit. Values are identical to the uncached path
+# (same blake2b digest), so signatures/goldens are unchanged.
+_WORD_CACHE: dict[str, int] = {}
+_WORD_CACHE_MAX = 1 << 20
+_blake2b = hashlib.blake2b
+_unpack_q = struct.Struct("<Q").unpack
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    cache = _WORD_CACHE
+    if len(cache) > _WORD_CACHE_MAX:
+        cache.clear()
+    get = cache.get
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = get(w)
+        if h is None:
+            h = _unpack_q(_blake2b(w.encode(), digest_size=8).digest())[0]
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def _shingle_array(text: str, n: int = 3) -> np.ndarray:
-    """word-n-gram shingle hashes, vectorized: one blake2b per WORD, then
-    the n-window combined with odd-constant multiplies + xor in numpy
-    (deterministic; Python's builtin hash() is salted per process so it
-    cannot be used)."""
+    """word-n-gram shingle hashes, vectorized: one memoized blake2b per
+    DISTINCT word (see _WORD_CACHE), then the n-window combined with
+    odd-constant multiplies + xor in numpy (deterministic; Python's builtin
+    hash() is salted per process so it cannot be used)."""
     words = _WS.split(text.strip().lower())
     if not words or words == [""]:
         return np.array([], dtype=np.uint64)
-    wh = np.fromiter((hash_bytes(w.encode()) for w in words),
-                     dtype=np.uint64, count=len(words))
+    wh = _hash_words(words)
     with np.errstate(over="ignore"):   # uint64 wraparound is the hash mix
         if len(wh) < n:
             acc = wh[0] * _SHINGLE_MIX[0]
@@ -116,8 +142,7 @@ def simhash64(text: str) -> int:
     tokens = _WS.split(text.strip().lower())
     if not tokens or tokens == [""]:
         return 0
-    hs = np.fromiter((hash_bytes(t.encode()) for t in tokens),
-                     dtype=np.uint64, count=len(tokens))
+    hs = _hash_words(tokens)
     # one vectorized unpack+sum over all tokens (bit layout identical to
     # the per-token struct.pack('<Q') + unpackbits formulation)
     le_bytes = hs.view(np.uint8).reshape(-1, 8)
@@ -139,6 +164,25 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     inter = len(sa & sb)
     union = len(sa | sb)
     return inter / union if union else 0.0
+
+
+def _dedup_pairs(pairs_ds, key_a: str, key_b: str, val_col: str | None = None):
+    """Collapse the same (a, b) pair surfacing from several LSH bands/tables
+    to one row — as an AGGREGATE, not a per-pair ``map_groups``: the verify
+    value for a pair is computed from the pair's full signatures/vectors
+    (identical in every band it collides in), so ``Min`` reproduces the
+    single surviving row while Ray's hash-aggregate pre-combines inside each
+    block. At 10^8–10^9 pairs this is numpy segment reduction per block
+    instead of one Python call + one tiny pa.Table per pair."""
+    from ray.data.aggregate import Count, Min
+
+    if val_col is None:
+        agg = pairs_ds.groupby([key_a, key_b]).aggregate(
+            Count(alias_name="__nbands"))
+        return agg.map_batches(lambda b: b.drop_columns(["__nbands"]),
+                               batch_format="pyarrow")
+    return pairs_ds.groupby([key_a, key_b]).aggregate(
+        Min(val_col, alias_name=val_col))
 
 
 # ---------------------------------------------------------------------------
@@ -242,8 +286,7 @@ def minhash_dedup_pairs(ds, *, num_perm: int = 64, bands: int = 16,
              .groupby("band_key")
              .map_groups(pairs_in_bucket, batch_format="pyarrow"))
     # the same pair can surface from several bands — keep one copy
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pairs(pairs, "doc_a", "doc_b", "jaccard_bp")
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -305,8 +348,7 @@ def simhash_neardup_pairs(ds, *, hamming_k: int = 3, bands: int = 4,
              .groupby("band_key")
              .map_groups(pairs_in_bucket, batch_format="pyarrow"))
     # a pair can collide in several bands — keep one copy
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pairs(pairs, "doc_a", "doc_b", "hamming")
 
 
 def hyperplane_keys(unit_vecs: np.ndarray, *, sign_bits: int = 16,
@@ -350,6 +392,12 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
     vector payload, never all-pairs."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # upstream filters can yield zero-row blocks; np.asarray([]) is
+            # 1-D and would break _unit_rows/hyperplane_keys
+            return pa.table({"bucket": pa.array([], pa.string()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch.column("embedding")})
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         vecs = np.asarray(batch.column("embedding").to_pylist(),
                           dtype=np.float32)
@@ -394,8 +442,7 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
              .groupby("bucket")
              .map_groups(pairs_in_bucket, batch_format="pyarrow"))
     # a pair can collide in several tables — keep one copy
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pairs(pairs, "vec_a", "vec_b", "cosine_bp")
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +459,71 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
 # the corpus, and the document payload is never touched until the final
 # filter.
 
+def _edge_segments(group: pa.Table) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray, np.ndarray]:
+    """Sort a partition's edge block by (u, v), drop duplicate edges, and
+    return (u, v, segment_starts, per-row segment index) — the shared
+    preamble of the vectorized star operations."""
+    u = group.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.ones(len(u), dtype=bool)
+    keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    u, v = u[keep], v[keep]
+    new_seg = np.ones(len(u), dtype=bool)
+    new_seg[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new_seg)
+    seg_idx = np.cumsum(new_seg) - 1
+    return u, v, starts, seg_idx
+
+
+def _large_star_block(group: pa.Table) -> pa.Table:
+    """Vectorized large-star over ALL nodes co-located in one hash
+    partition: per node u (a sorted segment), m = min(min(N(u)), u); emit
+    (nbr, m) for every neighbor nbr > u. numpy segment reduction — no
+    per-node Python call."""
+    u, v, starts, seg_idx = _edge_segments(group)
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    seg_u = u[starts]
+    m = np.minimum(v[starts], seg_u)       # v sorted within segment → v[start] = min(N(u))
+    m_row = m[seg_idx]
+    mask = v > u
+    return pa.table({"u": pa.array(v[mask], pa.int64()),
+                     "v": pa.array(m_row[mask], pa.int64())})
+
+
+def _small_star_block(group: pa.Table) -> pa.Table:
+    """Vectorized small-star: per node u, with S = {nbr < u}: if S is
+    empty emit nothing; else m = min(S), emit (x, m) for x in S\\{m} and
+    (u, m)."""
+    u, v, starts, seg_idx = _edge_segments(group)
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    seg_u = u[starts]
+    first_v = v[starts]                    # min neighbor of the segment
+    has_small = first_v < seg_u            # sorted: any small ⇒ first is small & min
+    m_row = first_v[seg_idx]
+    is_first = np.zeros(len(u), dtype=bool)
+    is_first[starts] = True
+    emit_small = (v < u) & ~is_first       # S \ {min(S)} (prefix of segment)
+    out_u = np.concatenate([v[emit_small], seg_u[has_small]])
+    out_v = np.concatenate([m_row[emit_small], first_v[has_small]])
+    return pa.table({"u": pa.array(out_u, pa.int64()),
+                     "v": pa.array(out_v, pa.int64())})
+
+
+def _hash_part(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        mix = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((mix >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int64)
+
+
 def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
-                         max_rounds: int = 16):
+                         max_rounds: int = 16, num_partitions: int = 64):
     """pairs → Dataset[(doc_id, component)] — component = min doc_id
     reachable in the undirected pair graph; one row per node that appears
     in at least one pair.
@@ -423,6 +533,12 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
     (count + xor-sum aggregate), so no driver-side edge materialization
     ever happens. Rounds needed: O(log n) in the worst case, 1–2 for the
     dense clique-like components near-dup detection produces.
+
+    Granularity: the star steps co-locate nodes by ``hash(u) %
+    num_partitions`` and run ONE vectorized numpy segment reduction per
+    partition — not one Python call per graph node. At 10^8–10^9 nodes the
+    per-round Python cost is O(num_partitions), with all per-node work in
+    sorted-array kernels; set ``num_partitions`` to a few × cluster cores.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -435,29 +551,22 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
         return pa.table({"u": pa.array(hi, pa.int64()),
                          "v": pa.array(lo, pa.int64())})
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
+    def both_dirs_part(batch: pa.Table) -> pa.Table:
+        # fuse the undirected expansion with the partition-key assignment:
+        # one map_batches, then ONE shuffle on the (coarse) partition key
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
-        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
-                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+        uu = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        return pa.table({"u": pa.array(uu, pa.int64()),
+                         "v": pa.array(vv, pa.int64()),
+                         "part": pa.array(_hash_part(uu, num_partitions),
+                                          pa.int64())})
 
-    def large_star(group: pa.Table) -> pa.Table:
-        u = group.column("u")[0].as_py()
-        nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
-        m = min(int(nbrs[0]), u)
-        out = nbrs[nbrs > u]
-        return pa.table({"u": pa.array(out, pa.int64()),
-                         "v": pa.array(np.full(len(out), m), pa.int64())})
-
-    def small_star(group: pa.Table) -> pa.Table:
-        u = group.column("u")[0].as_py()
-        nbrs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
-        small = nbrs[nbrs < u].tolist()
-        members = small + [u]
-        m = members[0] if small else u
-        out = [x for x in members if x != m]
-        return pa.table({"u": pa.array(out, pa.int64()),
-                         "v": pa.array([m] * len(out), pa.int64())})
+    def _star_round(edges, star_block):
+        return (edges.map_batches(both_dirs_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(star_block, batch_format="pyarrow"))
 
     def _checksum(edges) -> tuple[int, int]:
         # order-independent fingerprint of the edge MULTISET: count + sum of
@@ -489,10 +598,8 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
     edges = pairs_ds.map_batches(canon, batch_format="pyarrow").materialize()
     prev_sig = None
     for round_no in range(max_rounds):
-        edges = (edges.map_batches(both_dirs, batch_format="pyarrow")
-                 .groupby("u").map_groups(large_star, batch_format="pyarrow"))
-        edges = (edges.map_batches(both_dirs, batch_format="pyarrow")
-                 .groupby("u").map_groups(small_star, batch_format="pyarrow"))
+        edges = _star_round(edges, _large_star_block)
+        edges = _star_round(edges, _small_star_block)
         edges = edges.materialize()   # edge list only — tiny vs the corpus
         sig = _checksum(edges)
         if sig == prev_sig:
@@ -519,33 +626,23 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
             .aggregate(Min("component", alias_name="component")))
 
 
-def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
-                         broadcast_limit: int = 20_000_000):
-    """End-to-end near-dedup: documents + near-dup pairs → the surviving
-    rows (per component, the min doc_id wins; docs in no pair survive).
+def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
+                broadcast_limit: int = 20_000_000,
+                num_partitions: int = 64):
+    """Anti-join: filter ``docs_ds`` to rows whose ``id_col`` is NOT in
+    ``drop_ds`` (a materialized single-column ``doc_id`` Dataset).
 
-    Scale shape: the drop set (non-canonical members of components) is tiny
-    relative to the corpus — only near-dup docs appear in pairs at all — so
-    it is collected once and broadcast via ray.put, and the corpus streams
-    through one vectorized membership filter with NO payload shuffle. If
-    the drop set exceeds ``broadcast_limit`` ids (~8 B each — the default
-    bounds the broadcast at ~160 MB), falls back to a distributed marker
-    anti-join: markers ∪ docs co-shuffle on doc_id and each group keeps its
-    rows unless a marker is present (payload moves once; logged).
+    Primary path: the drop ids are collected once, sorted, and broadcast
+    via ray.put; the corpus streams through one vectorized searchsorted
+    mask — the payload never shuffles. If the drop set exceeds
+    ``broadcast_limit`` ids (~8 B each — the default bounds the broadcast
+    at ~160 MB), falls back to a hash-partitioned marker anti-join:
+    null-padded markers ∪ docs co-shuffle on ``hash(doc_id) %
+    num_partitions`` and ONE vectorized sorted-membership filter runs per
+    partition — not one Python call per doc_id; payload moves once; logged.
     """
     import ray
 
-    import pyarrow.compute as pc
-
-    comp = connected_components(pairs_ds)
-    # materialize the (small) drop set once — count + the broadcast
-    # collect below would otherwise each re-execute the whole
-    # components lineage
-    drop_ds = comp.map_batches(
-        lambda b: b.filter(
-            pc.not_equal(b.column("doc_id"), b.column("component"))
-        ).select(["doc_id"]),
-        batch_format="pyarrow").materialize()
     n_drop = drop_ds.count()
 
     if n_drop <= broadcast_limit:
@@ -567,39 +664,81 @@ def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
         return docs_ds.map_batches(keep, batch_format="pyarrow")
 
     logger.warning(
-        "dedup_keep_canonical: drop set has %d ids (> broadcast_limit=%d); "
-        "falling back to distributed marker anti-join (one payload shuffle)",
+        "_apply_drop: drop set has %d ids (> broadcast_limit=%d); "
+        "falling back to partitioned marker anti-join (one payload shuffle)",
         n_drop, broadcast_limit)
-    markers = drop_ds.map_batches(
-        lambda b: b.append_column("__drop", pa.array([True] * len(b))),
-        batch_format="pyarrow")
-    tagged = docs_ds.map_batches(
-        lambda b: b.append_column("__drop", pa.array([False] * len(b))),
-        batch_format="pyarrow")
+    doc_schema = docs_ds.schema()
+    pad_cols = [n for n in doc_schema.names if n != id_col]
+    id_type = doc_schema.base_schema.field(id_col).type
 
-    def filter_group(group: pa.Table) -> pa.Table:
-        mask = group.column("__drop").to_numpy(zero_copy_only=False)
-        if mask.any():
-            return group.slice(0, 0).drop_columns(["__drop"])
-        return group.drop_columns(["__drop"])
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = (batch.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return (batch
+                .append_column("__drop",
+                               pa.array(np.zeros(len(batch), dtype=bool)))
+                .append_column("__part",
+                               pa.array(_hash_part(ids, num_partitions),
+                                        pa.int64())))
 
-    # markers carry only (doc_id, __drop); union requires identical schemas,
-    # so pad marker rows with nulls for the doc columns
-    doc_schema = tagged.schema()
-    pad_cols = [n for n in doc_schema.names if n not in (id_col, "__drop")]
-
-    def pad(batch: pa.Table) -> pa.Table:
-        cols = {id_col: batch.column("doc_id").cast(
-                    doc_schema.base_schema.field(id_col).type),
-                "__drop": batch.column("__drop")}
+    def pad_markers(batch: pa.Table) -> pa.Table:
+        # markers carry only doc_id; union requires identical schemas, so
+        # pad the payload columns with (cheap) nulls
+        ids = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        cols = {id_col: batch.column("doc_id").cast(id_type)}
         for name in pad_cols:
-            typ = doc_schema.base_schema.field(name).type
-            cols[name] = pa.nulls(len(batch), typ)
-        return pa.table({n: cols[n] for n in doc_schema.names})
+            cols[name] = pa.nulls(
+                len(batch), doc_schema.base_schema.field(name).type)
+        cols["__drop"] = pa.array(np.ones(len(batch), dtype=bool))
+        cols["__part"] = pa.array(_hash_part(ids, num_partitions), pa.int64())
+        return pa.table({n: cols[n]
+                         for n in list(doc_schema.names) + ["__drop",
+                                                            "__part"]})
 
-    union = tagged.union(markers.map_batches(pad, batch_format="pyarrow"))
-    kept = union.groupby(id_col).map_groups(filter_group,
-                                            batch_format="pyarrow")
-    # marker rows (all-null payload) are removed with their group; a kept
-    # group contains only real doc rows
-    return kept
+    union = (docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+             .union(drop_ds.map_batches(pad_markers, batch_format="pyarrow")))
+
+    def filter_part(group: pa.Table) -> pa.Table:
+        mask_drop = group.column("__drop").to_numpy(zero_copy_only=False)
+        part_drop = np.unique(
+            group.column(id_col).to_numpy(zero_copy_only=False)[mask_drop])
+        docs = group.filter(pa.array(~mask_drop))
+        if len(part_drop):
+            ids = docs.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(part_drop, ids),
+                             len(part_drop) - 1)
+            docs = docs.filter(pa.array(~(part_drop[pos] == ids)))
+        return docs.drop_columns(["__drop", "__part"])
+
+    return union.groupby("__part").map_groups(filter_part,
+                                              batch_format="pyarrow")
+
+
+def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                         broadcast_limit: int = 20_000_000,
+                         num_partitions: int = 64):
+    """End-to-end near-dedup: documents + near-dup pairs → the surviving
+    rows (per component, the min doc_id wins; docs in no pair survive).
+
+    Scale shape: the drop set (non-canonical members of components) is tiny
+    relative to the corpus — only near-dup docs appear in pairs at all — so
+    it broadcasts via ``_apply_drop``'s primary path and the corpus streams
+    through one vectorized membership filter with NO payload shuffle; past
+    ``broadcast_limit`` the partitioned marker anti-join fallback runs
+    instead (one payload shuffle, vectorized per partition).
+    """
+    import pyarrow.compute as pc
+
+    comp = connected_components(pairs_ds)
+    # materialize the (small) drop set once — count + the broadcast
+    # collect below would otherwise each re-execute the whole
+    # components lineage
+    drop_ds = comp.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("doc_id"), b.column("component"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow").materialize()
+    return _apply_drop(docs_ds, drop_ds, id_col=id_col,
+                       broadcast_limit=broadcast_limit,
+                       num_partitions=num_partitions)

@@ -48,6 +48,13 @@ def broadcast_lookup(ds, lookup_table: pa.Table, *, key: str,
 
     def lookup(batch: pa.Table) -> pa.Table:
         lkeys, lvalues = ray.get(ref)
+        if len(lkeys) == 0:
+            # inner semantics with an empty lookup side: zero rows out
+            # (searchsorted pos-1 would index lkeys[-1] and raise)
+            batch = batch.filter(pa.array(np.zeros(len(batch), dtype=bool)))
+            for c in value_cols:
+                batch = batch.append_column(c, lvalues[c].slice(0, 0))
+            return batch
         ids = batch.column(key).to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(lkeys, ids), len(lkeys) - 1)
         hit = lkeys[pos] == ids

@@ -165,6 +165,9 @@ def _collect(node, parts: list[str], options: VisibleTextOptions,
             chunks.append(("\n", node, role_override or "structure-break"))
         return
 
+    # emit() exists ONLY for tags in _EMIT_TAGS (img, input, button, tr) —
+    # a new branch that calls emit() must also add its tag to _EMIT_TAGS,
+    # or it raises NameError at runtime
     if tag in _EMIT_TAGS:   # only these branches need the emit closure
         if chunks is None:
             def emit(value: str, role: str, src=node) -> None:

@@ -32,9 +32,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dedup import (DEFAULT_BUCKET_CAP, _cap_bucket,
-                               connected_components, lsh_band_keys,
-                               minhash_signature)
+from ..functions.dedup import (DEFAULT_BUCKET_CAP, _apply_drop, _cap_bucket,
+                               _dedup_pairs, connected_components,
+                               lsh_band_keys, minhash_signature)
 from ..functions.textstats import quality_counts
 
 
@@ -115,15 +115,24 @@ def _dedup_pairs_from_features(feat_ds, *, num_perm: int = 64,
     pairs = (feat_ds.map_batches(explode, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(pairs_in_bucket, batch_format="pyarrow"))
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pairs(pairs, "doc_a", "doc_b")
 
 
 def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
                  jaccard_threshold: float = 0.8, num_perm: int = 64,
-                 bands: int = 16, checkpoint_dir: str | None = None):
+                 bands: int = 16, checkpoint_dir: str | None = None,
+                 broadcast_limit: int = 20_000_000,
+                 num_partitions: int = 64):
     """documents → surviving rows after quality gate + exact dedup +
     MinHash near-dedup (min doc_id per duplicate component wins).
+
+    The quality decision is per-row pure, so it is applied INLINE in the
+    final filter pass (recomputed from the text that pass already touches)
+    — quality-failing ids (30–50% of a real web corpus) are NEVER
+    collected to the driver. The only id set that moves is the CC drop set
+    (non-canonical members of duplicate components, bounded by the
+    duplicate subset), routed through ``_apply_drop``'s broadcast path
+    with its ``broadcast_limit`` + partitioned-anti-join fallback.
 
     ``checkpoint_dir``: persist the compact feature table as parquet and
     REUSE it on re-runs (presence of the ``_DONE`` marker skips the
@@ -147,33 +156,26 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
                                min_alpha_bp=min_alpha_bp,
                                num_perm=num_perm).materialize()
 
-    # drop-set pieces are doc_id-only arrays (8 B/doc, bounded by the
-    # failing/duplicated subset) — driver collection is the broadcast path
-    qfail = np.concatenate(
-        [b.filter(pc.invert(b.column("q_ok")))
-          .column("doc_id").to_numpy(zero_copy_only=False)
-         for b in feats.iter_batches(batch_format="pyarrow")]
-        or [np.array([], dtype=np.int64)])
-
     pairs = _dedup_pairs_from_features(
         feats, num_perm=num_perm, bands=bands,
         jaccard_threshold=jaccard_threshold)
     comp = connected_components(pairs)
-    cc_drop = np.concatenate(
-        [b.filter(pc.not_equal(b.column("doc_id"), b.column("component")))
-          .column("doc_id").to_numpy(zero_copy_only=False)
-         for b in comp.iter_batches(batch_format="pyarrow")]
-        or [np.array([], dtype=np.int64)])
+    cc_drop = comp.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("doc_id"), b.column("component"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow").materialize()
 
-    drop = np.unique(np.concatenate([qfail, cc_drop]))
-    drop_ref = ray.put(drop)
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mask = np.fromiter(
+            (_quality_ok(t, min_ws_tokens, min_alpha_bp) for t in texts),
+            dtype=bool, count=len(texts))
+        return batch.filter(pa.array(mask))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        if len(d) == 0:
-            return batch
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
-        return batch.filter(pa.array(~(d[pos] == ids)))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    gated = ds.map_batches(quality_gate, batch_format="pyarrow")
+    # CC pairs are built from q_ok docs only, so cc_drop ⊆ the gated rows:
+    # gate-then-drop reproduces the sequential filter→dedup semantics
+    return _apply_drop(gated, cc_drop, id_col="doc_id",
+                       broadcast_limit=broadcast_limit,
+                       num_partitions=num_partitions)

@@ -667,3 +667,78 @@ def test_clean_corpus_checkpoint_reuse(ray_session, tmp_path):
                    clean_corpus(ds, min_ws_tokens=20,
                                 checkpoint_dir=ckpt).take_all())
     assert kept2 == [1]
+
+
+def test_clean_corpus_quality_fails_never_hit_broadcast_limit(ray_session):
+    # r3 scale fix: the quality gate is applied INLINE in the filter pass —
+    # quality-failing ids must NOT count toward the broadcast drop set. With
+    # 200 quality failures and broadcast_limit=2, the run must stay on the
+    # broadcast path (CC drop set here is 1 id) and still be correct.
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    ids = list(range(1, 204))
+    texts = {1: long, 2: long + " dup"}            # near-dup pair -> drop 2
+    texts[3] = ("uniform victor whiskey xray yankee zulu one two three "
+                "four five six seven eight nine ten eleven twelve "
+                "thirteen fourteen")               # distinct keeper
+    for i in range(4, 204):
+        texts[i] = f"short {i}"                    # 200 quality failures
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+    })
+    kept = clean_corpus(ray.data.from_arrow(tbl), min_ws_tokens=20,
+                        broadcast_limit=2)
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [1, 3]
+
+
+def test_clean_corpus_cc_drop_fallback_path(ray_session):
+    # broadcast_limit=0 forces the partitioned marker anti-join for the CC
+    # drop set; the inline quality gate composes with it unchanged
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([long, long + " dup", "too short"], pa.string()),
+    })
+    rows = clean_corpus(ray.data.from_arrow(tbl), min_ws_tokens=20,
+                        broadcast_limit=0).take_all()
+    assert sorted(r["doc_id"] for r in rows) == [1]
+    assert rows[0]["text"] == long                 # payload intact
+
+
+def test_broadcast_lookup_empty_table(ray_session):
+    # inner-join semantics with an empty lookup side: zero rows, not an
+    # IndexError inside the mapped task (ADVICE r2)
+    import ray
+    from html_parser_ray.functions.joins import broadcast_lookup
+    docs = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "x": pa.array(["a", "b"], pa.string())}))
+    lookup = pa.table({"k": pa.array([], pa.int64()),
+                       "v": pa.array([], pa.string())})
+    out = broadcast_lookup(docs, lookup, key="k", lookup_key="k",
+                           value_cols=["v"])
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"k", "x", "v"}
+
+
+def test_embedding_neardup_pairs_zero_row_blocks(ray_session):
+    # upstream filters can yield zero-row blocks; bucketize must tolerate
+    # them (ADVICE r2)
+    import ray
+    from html_parser_ray.functions.dedup import embedding_neardup_pairs
+    vecs = [[1.0] * 8, [1.0] * 8, [-1.0] * 8]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    filtered = ds.filter(lambda r: r["vec_id"] < 0)   # all blocks empty
+    assert embedding_neardup_pairs(filtered).take_all() == []
+    pairs = embedding_neardup_pairs(ds).take_all()
+    assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(1, 2)]
