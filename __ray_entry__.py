@@ -603,8 +603,11 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer",
                      columns=["c_custkey", "c_nationkey"])
+    # num_partitions=8: winner of the r3 sweep (8/16/32/64 → 2.4/3.1/5.1/
+    # 14.6 s at sf0.1, 32 cpus) — join aggregator-actor spin-up dominates
+    # at bench scale; see hash_join docstring for the 100-TB sizing rule
     joined = hash_join(orders, customer, on="o_custkey",
-                       right_on="c_custkey", num_partitions=16)
+                       right_on="c_custkey", num_partitions=8)
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     named = broadcast_lookup(joined, nation, key="c_nationkey",

@@ -22,7 +22,16 @@ import pyarrow as pa
 
 def hash_join(left, right, *, on: str, right_on: str | None = None,
               join_type: str = "inner", num_partitions: int = 32):
-    """Hash-partitioned equi-join of two Datasets on int/string keys."""
+    """Hash-partitioned equi-join of two Datasets on int/string keys.
+
+    ``num_partitions`` sizing (r3 sweep at sf0.1 / 32 cpus, median of 3:
+    8 parts 2.4 s, 16 → 3.1 s, 32 → 5.1 s, 64 → 14.6 s): each join
+    partition is an aggregator ACTOR with ~constant spin-up cost, so at
+    bench scale fewer partitions win and the knee is well below the CPU
+    count. Pick roughly ``input_bytes / 1 GB`` capped below cluster cores
+    — at 100 TB that's thousands of partitions (the actor cost amortizes);
+    at single-node bench scale use 8–16.
+    """
     return left.join(right, join_type, num_partitions,
                      on=(on,), right_on=(right_on or on,))
 

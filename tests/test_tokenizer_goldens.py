@@ -17,8 +17,13 @@ from html_parser_ray.htmlcore.tokens import tokenize
 ROOT = os.path.join(os.path.dirname(__file__), "fixtures",
                     "tokenizer_goldens")
 
+from .holdout import is_holdout
+
+# routine runs exclude the hash(id)%10==0 holdout slice; the release gate
+# (tests/test_holdout_release.py) executes it
 with open(os.path.join(ROOT, "cases.jsonl")) as f:
-    CASES = [json.loads(line) for line in f]
+    ALL_CASES = [json.loads(line) for line in f]
+CASES = [c for c in ALL_CASES if not is_holdout(str(c["id"]))]
 with open(os.path.join(ROOT, "golden.jsonl")) as f:
     GOLDEN = {json.loads(line)["id"]: json.loads(line)["tokens"]
               for line in f}
