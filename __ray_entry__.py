@@ -13,8 +13,9 @@ embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), deterministic sampling, session +
 tumbling windows, multimodal feature stages, and the generic columnar
-path. 34 of 36 have value-checked DuckDB oracles; only the two simhash
-queries are rows-only (blake2b signatures are not SQL-expressible).
+path. All 36 have value-checked DuckDB oracles (since r3 the simhash
+queries too: their token hash is md5-based — md5_number_lower in
+DuckDB — so the per-bit majority is SQL-expressible end to end).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
 DuckDB's HUGEINT does not change the comparison dtype.
@@ -1035,6 +1036,52 @@ def oracle_sql() -> dict[str, str]:
             "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
             "WHEN hits_fr >= hits_es THEN 'fr' "
             "ELSE 'es' END AS lang_pred, lang_true FROM h"
+        ),
+        # simhash: fully SQL-expressible since r3 — token hashes are the
+        # lower 8 md5 digest bytes (little-endian), which DuckDB computes
+        # natively as md5_number_lower; result bit i is the per-bit
+        # majority over tokens, masked to 63 bits (int64 column)
+        "simhash": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents WHERE trim(text) <> ''), "
+            "bits AS (SELECT doc_id, i.bit, "
+            "SUM(CASE WHEN ((md5_number_lower(tok) >> i.bit) & 1) = 1 "
+            "THEN 1 ELSE 0 END) AS ones, COUNT(*) AS n "
+            "FROM toks CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 62)) AS bit) i "
+            "GROUP BY doc_id, i.bit), "
+            "sh AS (SELECT doc_id, SUM(CASE WHEN 2 * ones > n THEN "
+            "(1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(sh.simhash, 0)::BIGINT AS simhash "
+            "FROM documents d LEFT JOIN sh USING (doc_id)"
+        ),
+        # simhash_neardup_pairs: the banded LSH result EQUALS the exact
+        # all-pairs Hamming<=3 set by pigeonhole (4 disjoint 16-bit bands,
+        # <=3 differing bits => >=1 band identical), so the oracle is the
+        # direct quadratic self-join over the augmented corpus
+        "simhash_neardup_pairs": (
+            "WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM docs2 WHERE trim(text) <> ''), "
+            "bits AS (SELECT doc_id, i.bit, "
+            "SUM(CASE WHEN ((md5_number_lower(tok) >> i.bit) & 1) = 1 "
+            "THEN 1 ELSE 0 END) AS ones, COUNT(*) AS n "
+            "FROM toks CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 62)) AS bit) i "
+            "GROUP BY doc_id, i.bit), "
+            "sh AS (SELECT doc_id, SUM(CASE WHEN 2 * ones > n THEN "
+            "(1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash "
+            "FROM bits GROUP BY doc_id), "
+            "all_sh AS (SELECT d.doc_id, COALESCE(sh.simhash, 0)::BIGINT "
+            "AS simhash FROM docs2 d LEFT JOIN sh USING (doc_id)) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming "
+            "FROM all_sh a JOIN all_sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "patch_edit": (
             "SELECT doc_id, "

@@ -18,7 +18,6 @@ import hashlib
 import logging
 import re
 import struct
-import sys
 
 import numpy as np
 import pyarrow as pa
@@ -138,22 +137,47 @@ def lsh_band_keys(sig: list[int], bands: int = 16) -> list[str]:
     return keys
 
 
+# simhash token hashes use md5 (lower 8 digest bytes, little-endian) rather
+# than blake2b: simhash is a beyond-reference operator whose hash basis we
+# own, and md5 is computable inside DuckDB (md5_number_lower), which makes
+# the ENTIRE simhash pipeline SQL-oracle-checkable — the r2 verdict's two
+# remaining rows-only queries become value-checked. Memoized like
+# _WORD_CACHE (zipfian vocab).
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _hash_tokens_md5(tokens: list[str]) -> np.ndarray:
+    cache = _MD5_CACHE
+    if len(cache) > _WORD_CACHE_MAX:
+        cache.clear()
+    get = cache.get
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, w in enumerate(tokens):
+        h = get(w)
+        if h is None:
+            h = _unpack_q(hashlib.md5(w.encode()).digest()[8:])[0]
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
+    """64-bit simhash with natural bit numbering: result bit i is the
+    majority vote of bit i (``(h >> i) & 1``) across the token hashes —
+    exactly what ``(md5_number_lower(tok) >> i) & 1`` computes in the
+    DuckDB oracle. Masked to 63 bits so the column stays int64."""
     tokens = _WS.split(text.strip().lower())
     if not tokens or tokens == [""]:
         return 0
-    hs = _hash_words(tokens)
-    # one vectorized unpack+sum over all tokens (bit layout identical to
-    # the per-token struct.pack('<Q') + unpackbits formulation)
-    le_bytes = hs.view(np.uint8).reshape(-1, 8)
-    if sys.byteorder == "big":             # keep '<Q' byte order everywhere
-        le_bytes = le_bytes[:, ::-1]
-    ones = np.unpackbits(le_bytes, axis=1).sum(axis=0, dtype=np.int64)
+    hs = _hash_tokens_md5(tokens)
+    ones = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).sum(
+        axis=0, dtype=np.int64)
     acc = 2 * ones - len(tokens)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
+    bits = np.flatnonzero(acc > 0)
+    out = int(np.sum(np.uint64(1) << bits.astype(np.uint64), dtype=np.uint64))
     return out & ((1 << 63) - 1)
 
 

@@ -371,13 +371,20 @@ def test_connected_components_chain_transitivity(ray_session):
                     20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_connected_components_random_vs_union_find(ray_session):
+@pytest.mark.parametrize("seed,n,m,parts", [
+    (123, 200, 150, 64),    # sparse: many small components
+    (7, 80, 300, 64),       # dense: few large components, multi-round
+    (99, 500, 400, 3),      # few partitions: many nodes per star block
+])
+def test_connected_components_random_vs_union_find(ray_session, seed, n, m,
+                                                   parts):
+    # differential check of the r3 vectorized large-star/small-star blocks
+    # (numpy segment reductions per hash partition) against a union-find
     import random
     import ray
     from html_parser_ray.functions.dedup import connected_components
-    random.seed(123)
-    n = 200
-    edges = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    random.seed(seed)
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(m)]
     edges = [(a, b) for a, b in edges if a != b]
     parent = list(range(n))
 
@@ -400,7 +407,8 @@ def test_connected_components_random_vs_union_find(ray_session):
         "doc_a": pa.array([a for a, _ in edges], pa.int64()),
         "doc_b": pa.array([b for _, b in edges], pa.int64())}))
     got = {r["doc_id"]: r["component"]
-           for r in connected_components(pairs).take_all()}
+           for r in connected_components(pairs,
+                                         num_partitions=parts).take_all()}
     assert got == expected
 
 
