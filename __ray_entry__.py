@@ -908,10 +908,6 @@ def oracle_sql() -> dict[str, str]:
             " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
             "     '( dup)+'))))"
         ),
-        # simhash_neardup_pairs: no SQL oracle — the synthetic corpus
-        # contains genuine simhash collisions (identical 64-bit signatures
-        # for distinct same-vocabulary docs), which SQL cannot reproduce.
-        # The operator is value-tested in tests/test_ray_pipeline.py.
         # main_content: the wrap's chrome (nav/header/footer) is always
         # dropped; h1+p survive iff the paragraph has >= 5 words (heading
         # promotion needs a good successor; short p fails smoothing with a
@@ -1040,11 +1036,15 @@ def oracle_sql() -> dict[str, str]:
         # simhash: fully SQL-expressible since r3 — token hashes are the
         # lower 8 md5 digest bytes (little-endian), which DuckDB computes
         # natively as md5_number_lower; result bit i is the per-bit
-        # majority over tokens, masked to 63 bits (int64 column)
+        # majority over tokens, masked to 63 bits (int64 column).
+        # Tokenization is the EXPLICIT ASCII class [ \t\n\r\f]+ with empty
+        # tokens dropped, matching simhash64 exactly (Python \s / strip()
+        # are Unicode-aware, RE2 \s / trim() are not — the explicit class
+        # keeps both sides identical on any corpus)
         "simhash": (
-            "WITH toks AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
-            "FROM documents WHERE trim(text) <> ''), "
+            "WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) "
+            "AS tok FROM documents) WHERE tok <> ''), "
             "bits AS (SELECT doc_id, i.bit, "
             "SUM(CASE WHEN ((md5_number_lower(tok) >> i.bit) & 1) = 1 "
             "THEN 1 ELSE 0 END) AS ones, COUNT(*) AS n "
@@ -1064,9 +1064,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": (
             "WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
             "SELECT doc_id + 1000000, text FROM documents), "
-            "toks AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
-            "FROM docs2 WHERE trim(text) <> ''), "
+            "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) "
+            "AS tok FROM docs2) WHERE tok <> ''), "
             "bits AS (SELECT doc_id, i.bit, "
             "SUM(CASE WHEN ((md5_number_lower(tok) >> i.bit) & 1) = 1 "
             "THEN 1 ELSE 0 END) AS ones, COUNT(*) AS n "
@@ -1175,8 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             "sum_price_cents, COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        # simhash / simhash_neardup_pairs are the only rows-only checks
-        # left: blake2b-per-token 64-bit signatures are not reproducible in
-        # DuckDB SQL, and the corpus contains genuine signature collisions
-        # (value-tested in tests/test_ray_pipeline.py instead)
+        # no rows-only entries remain: since r3 the simhash queries use an
+        # md5-based token hash (md5_number_lower in DuckDB), so every one
+        # of the 36 queries has a value-checked SQL oracle
     }

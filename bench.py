@@ -170,7 +170,17 @@ def run_single(sf_dir: str, num_cpus: int, extract_only: bool = False) -> dict:
             return {"extract": bench_extract(sf_dir)}
         runs = sorted((bench_extract(sf_dir) for _ in range(BENCH_REPS)),
                       key=lambda r: r["sec"])
-        ext = dict(runs[len(runs) // 2])        # median-by-elapsed run
+        mid = len(runs) // 2
+        if BENCH_REPS % 2:
+            ext = dict(runs[mid])               # true median run
+        else:
+            # even reps: report the true median elapsed (mean of the two
+            # middle runs) and rescale the derived rates to match, so the
+            # headline agrees with _median_timed's convention
+            ext = dict(runs[mid - 1])
+            ext["sec"] = (runs[mid - 1]["sec"] + runs[mid]["sec"]) / 2
+            ext["docs_per_sec"] = ext["docs"] / ext["sec"]
+            ext["mb_per_sec"] = ext["bytes"] / 1e6 / ext["sec"]
         ext.update({"sec_min": runs[0]["sec"], "sec_max": runs[-1]["sec"],
                     "reps": BENCH_REPS})
         return {"extract": ext, "queries": bench_queries(sf_dir)}

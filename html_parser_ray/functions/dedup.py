@@ -73,8 +73,7 @@ _blake2b = hashlib.blake2b
 _unpack_q = struct.Struct("<Q").unpack
 
 
-def _hash_words(words: list[str]) -> np.ndarray:
-    cache = _WORD_CACHE
+def _memo_hash(words: list[str], cache: dict[str, int], fn) -> np.ndarray:
     if len(cache) > _WORD_CACHE_MAX:
         cache.clear()
     get = cache.get
@@ -82,10 +81,14 @@ def _hash_words(words: list[str]) -> np.ndarray:
     for i, w in enumerate(words):
         h = get(w)
         if h is None:
-            h = _unpack_q(_blake2b(w.encode(), digest_size=8).digest())[0]
+            h = fn(w)
             cache[w] = h
         out[i] = h
     return out
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    return _memo_hash(words, _WORD_CACHE, _blake2b_low64)
 
 
 def _shingle_array(text: str, n: int = 3) -> np.ndarray:
@@ -143,25 +146,31 @@ def lsh_band_keys(sig: list[int], bands: int = 16) -> list[str]:
 # the ENTIRE simhash pipeline SQL-oracle-checkable — the r2 verdict's two
 # remaining rows-only queries become value-checked. Memoized like
 # _WORD_CACHE (zipfian vocab).
+def _md5_low64(w: str) -> int:
+    return _unpack_q(hashlib.md5(w.encode()).digest()[8:])[0]
+
+
+def _blake2b_low64(w: str) -> int:
+    return _unpack_q(_blake2b(w.encode(), digest_size=8).digest())[0]
+
+
 _MD5_CACHE: dict[str, int] = {}
 
 
 def _hash_tokens_md5(tokens: list[str]) -> np.ndarray:
-    cache = _MD5_CACHE
-    if len(cache) > _WORD_CACHE_MAX:
-        cache.clear()
-    get = cache.get
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, w in enumerate(tokens):
-        h = get(w)
-        if h is None:
-            h = _unpack_q(hashlib.md5(w.encode()).digest()[8:])[0]
-            cache[w] = h
-        out[i] = h
-    return out
+    return _memo_hash(tokens, _MD5_CACHE, _md5_low64)
 
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+# simhash tokenization uses an EXPLICIT ASCII whitespace class (not \s):
+# Python's \s and str.strip() are Unicode-aware while DuckDB's RE2 \s and
+# trim() are ASCII/space-only, which would make the SQL oracle diverge on
+# tabs/newlines/NBSP. Both sides now split on exactly [ \t\n\r\f] and drop
+# empty tokens, so Python and the DuckDB oracle agree on ANY corpus.
+_SIMHASH_WS = re.compile(r"[ \t\n\r\f]+")
+# chunk the (tokens × 64) bit matrix so a multi-MB document peaks at ~32 MB
+# of transient memory inside the map_batches worker, not 512 B × n_tokens
+_SIMHASH_CHUNK = 65_536
 
 
 def simhash64(text: str) -> int:
@@ -169,12 +178,15 @@ def simhash64(text: str) -> int:
     majority vote of bit i (``(h >> i) & 1``) across the token hashes —
     exactly what ``(md5_number_lower(tok) >> i) & 1`` computes in the
     DuckDB oracle. Masked to 63 bits so the column stays int64."""
-    tokens = _WS.split(text.strip().lower())
-    if not tokens or tokens == [""]:
+    tokens = [t for t in _SIMHASH_WS.split(text.lower()) if t]
+    if not tokens:
         return 0
     hs = _hash_tokens_md5(tokens)
-    ones = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).sum(
-        axis=0, dtype=np.int64)
+    ones = np.zeros(64, dtype=np.int64)
+    for i in range(0, len(hs), _SIMHASH_CHUNK):
+        chunk = hs[i:i + _SIMHASH_CHUNK]
+        ones += ((chunk[:, None] >> _BIT_SHIFTS) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64)
     acc = 2 * ones - len(tokens)
     bits = np.flatnonzero(acc > 0)
     out = int(np.sum(np.uint64(1) << bits.astype(np.uint64), dtype=np.uint64))
@@ -652,7 +664,7 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
 
 def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
                 broadcast_limit: int = 20_000_000,
-                num_partitions: int = 64):
+                num_partitions: int = 4_096):
     """Anti-join: filter ``docs_ds`` to rows whose ``id_col`` is NOT in
     ``drop_ds`` (a materialized single-column ``doc_id`` Dataset).
 
@@ -664,6 +676,15 @@ def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
     null-padded markers ∪ docs co-shuffle on ``hash(doc_id) %
     num_partitions`` and ONE vectorized sorted-membership filter runs per
     partition — not one Python call per doc_id; payload moves once; logged.
+
+    ``num_partitions`` sizing: each fallback partition materializes
+    ~corpus_bytes / num_partitions of PAYLOAD as one in-memory group, so
+    size it to keep groups at a few hundred MB. The fallback only engages
+    past ``broadcast_limit`` drop ids — a corpus of billions of docs —
+    where the 4,096 default puts a 100-TB corpus at ~25 GB/group; raise it
+    proportionally for larger runs (it is deliberately NOT the same knob
+    as connected_components' edge-list partitioning, whose groups hold
+    16-byte edges, not documents).
     """
     import ray
 
@@ -741,7 +762,7 @@ def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
 
 def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
                          broadcast_limit: int = 20_000_000,
-                         num_partitions: int = 64):
+                         num_partitions: int = 4_096):
     """End-to-end near-dedup: documents + near-dup pairs → the surviving
     rows (per component, the min doc_id wins; docs in no pair survive).
 

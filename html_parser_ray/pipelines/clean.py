@@ -122,7 +122,7 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
                  jaccard_threshold: float = 0.8, num_perm: int = 64,
                  bands: int = 16, checkpoint_dir: str | None = None,
                  broadcast_limit: int = 20_000_000,
-                 num_partitions: int = 64):
+                 num_partitions: int = 4_096):
     """documents → surviving rows after quality gate + exact dedup +
     MinHash near-dedup (min doc_id per duplicate component wins).
 
@@ -142,14 +142,31 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
     import ray
 
     if checkpoint_dir is not None:
+        import json
         import os
         marker = os.path.join(checkpoint_dir, "_DONE")
+        # the checkpointed features bake in the gate/signature params; a
+        # reuse under DIFFERENT params would silently skip dedup for docs
+        # whose q_ok flipped (the pair graph only covers checkpoint-time
+        # q_ok docs), so the marker records them and a mismatch is an error
+        params = {"min_ws_tokens": min_ws_tokens,
+                  "min_alpha_bp": min_alpha_bp, "num_perm": num_perm}
         if not os.path.exists(marker):
             clean_features(ds, min_ws_tokens=min_ws_tokens,
                            min_alpha_bp=min_alpha_bp,
                            num_perm=num_perm).write_parquet(checkpoint_dir)
             with open(marker, "w") as f:
-                f.write("ok")
+                json.dump(params, f)
+        else:
+            with open(marker) as f:
+                content = f.read()
+            stored = json.loads(content) if content.startswith("{") else None
+            if stored is not None and stored != params:
+                raise ValueError(
+                    f"clean_corpus checkpoint {checkpoint_dir} was built "
+                    f"with params {stored}, current call uses {params}; "
+                    "use a fresh checkpoint_dir (reusing it would skip "
+                    "dedup for docs whose quality decision changed)")
         feats = ray.data.read_parquet(checkpoint_dir)
     else:
         feats = clean_features(ds, min_ws_tokens=min_ws_tokens,

@@ -750,3 +750,28 @@ def test_embedding_neardup_pairs_zero_row_blocks(ray_session):
     assert embedding_neardup_pairs(filtered).take_all() == []
     pairs = embedding_neardup_pairs(ds).take_all()
     assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_clean_corpus_checkpoint_param_mismatch_raises(ray_session,
+                                                       tmp_path):
+    # r3 review fix: reusing a feature checkpoint under DIFFERENT gate
+    # params would silently skip dedup for docs whose quality decision
+    # flipped — it must be a loud error instead
+    import pytest as _pytest
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([long, long + " dup"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    ckpt = str(tmp_path / "feats")
+    kept = sorted(r["doc_id"] for r in
+                  clean_corpus(ds, min_ws_tokens=20,
+                               checkpoint_dir=ckpt).take_all())
+    assert kept == [1]
+    with _pytest.raises(ValueError, match="params"):
+        clean_corpus(ds, min_ws_tokens=5, checkpoint_dir=ckpt)
