@@ -19,6 +19,27 @@ def _unit(matrix: np.ndarray) -> np.ndarray:
     return matrix / norms
 
 
+def list_col_to_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) ndarray WITHOUT the per-row
+    to_pylist() round-trip: one flat buffer view + reshape. Rows must all
+    have the same length (embedding columns do); raises on ragged input
+    rather than silently mis-slicing."""
+    if hasattr(col, "combine_chunks"):          # ChunkedArray
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    values = col.flatten().to_numpy(zero_copy_only=False)
+    if values.size % n:
+        raise ValueError(
+            f"ragged list column: {values.size} values / {n} rows")
+    dim = values.size // n
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    if not (np.diff(offsets) == dim).all():
+        raise ValueError("ragged list column: row lengths differ")
+    return values.reshape(n, dim).astype(dtype, copy=False)
+
+
 def deterministic_query_vector(dim: int, seed: int = 7) -> list[float]:
     """Seeded pseudo-random unit query (no wall-clock / global RNG)."""
     state = seed
@@ -44,8 +65,8 @@ def brute_force_topk(ds, query: list[float], k: int = 10):
 
     def partial(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = list_col_to_matrix(batch.column("embedding"))
         sims = _unit(vecs) @ qv
         take = min(k, len(ids))
         idx = np.argpartition(-sims, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
@@ -96,15 +117,15 @@ def ivf_train(ds, *, dim: int, n_cells: int = 16, sample_size: int = 8192,
     rate = np.uint64(sample_rate_permille)
 
     def hash_sample(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.uint64)
+        ids = (batch.column("vec_id").to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
         keep = (ids * np.uint64(2654435761)) % np.uint64(1000) < rate
         return batch.filter(pa.array(keep))
 
     sample_tbl = pa.concat_tables(
         list(ds.map_batches(hash_sample, batch_format="pyarrow")
              .limit(sample_size).iter_batches(batch_format="pyarrow")))
-    vecs = _unit(np.asarray(sample_tbl.column("embedding").to_pylist(),
-                            dtype=np.float32))
+    vecs = _unit(list_col_to_matrix(sample_tbl.column("embedding")))
     n = len(vecs)
     if n == 0:
         return ivf_centroids(dim, n_cells)
@@ -153,8 +174,7 @@ def ivf_assign(ds, *, dim: int, n_cells: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cents_ref)
-        vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
-                                dtype=np.float32))
+        vecs = _unit(list_col_to_matrix(batch.column("embedding")))
         cells = np.argmax(vecs @ cent.T, axis=1)
         return batch.append_column("cell", pa.array(cells, pa.int32()))
 
@@ -182,14 +202,12 @@ def ivf_search(assigned_ds, query: list[float], k: int = 10,
         qv = ray.get(q_ref)
         cells = batch.column("cell").to_numpy(zero_copy_only=False)
         mask = np.isin(cells, probe_cells)
-        ids = np.asarray(batch.column("vec_id").to_pylist(),
-                         dtype=np.int64)[mask]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)[mask]
         if len(ids) == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "cosine_bp": pa.array([], pa.int64())})
-        vecs = _unit(np.asarray(
-            batch.column("embedding").filter(pa.array(mask)).to_pylist(),
-            dtype=np.float32))
+        vecs = _unit(list_col_to_matrix(
+            batch.column("embedding").filter(pa.array(mask))))
         sims = vecs @ qv
         take = min(k, len(ids))
         idx = (np.argpartition(-sims, take - 1)[:take]

@@ -48,6 +48,10 @@ def _cap_bucket(rows: list, cap: int, bucket_key: str) -> list:
 
 # 64-bit multiply-shift hash seeds (deterministic, no RNG at run time)
 _MASK64 = (1 << 64) - 1
+# chunk size for per-document broadcasted hash matrices (minhash seeds ×
+# shingles, simhash tokens × 64 bits): bounds worker transients at ~32 MB
+# for multi-MB giant documents
+_HASH_CHUNK = 65_536
 _MASK63 = (1 << 63) - 1
 _MINHASH_SEEDS = [((0x9E3779B97F4A7C15 + 0x6C62272E07BB0142 * i) & _MASK64) | 1
                   for i in range(64)]
@@ -123,9 +127,16 @@ def minhash_signature(text: str, num_perm: int = 64, shingle_n: int = 3) -> list
     sh = _shingle_array(text, shingle_n)
     if len(sh) == 0:
         return [0] * num_perm
-    # one broadcasted multiply: (num_perm, n_shingles) -> row minima
-    hashed = _SEED_ARR[:num_perm, None] * sh[None, :]
-    return hashed.min(axis=1).tolist()
+    # broadcasted multiply in bounded chunks: the (num_perm, n_shingles)
+    # temp for a multi-MB document would be num_perm × 8 B per shingle
+    # (~0.5 GB at 10^6 shingles); chunking caps it at ~32 MB while the
+    # running np.minimum keeps the result exactly the global row minima
+    mins = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    seeds = _SEED_ARR[:num_perm, None]
+    for i in range(0, len(sh), _HASH_CHUNK):
+        hashed = seeds * sh[None, i:i + _HASH_CHUNK]
+        np.minimum(mins, hashed.min(axis=1), out=mins)
+    return mins.tolist()
 
 
 def lsh_band_keys(sig: list[int], bands: int = 16) -> list[str]:
@@ -170,7 +181,7 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _SIMHASH_WS = re.compile(r"[ \t\n\r\f]+")
 # chunk the (tokens × 64) bit matrix so a multi-MB document peaks at ~32 MB
 # of transient memory inside the map_batches worker, not 512 B × n_tokens
-_SIMHASH_CHUNK = 65_536
+_SIMHASH_CHUNK = _HASH_CHUNK
 
 
 def simhash64(text: str) -> int:
@@ -434,9 +445,9 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
             return pa.table({"bucket": pa.array([], pa.string()),
                              "vec_id": pa.array([], pa.int64()),
                              "embedding": batch.column("embedding")})
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        vecs = np.asarray(batch.column("embedding").to_pylist(),
-                          dtype=np.float32)
+        from .ann import list_col_to_matrix
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = list_col_to_matrix(batch.column("embedding"))
         unit = _unit_rows(vecs)
         per_table = hyperplane_keys(unit, sign_bits=sign_bits,
                                     n_tables=n_tables, seed=seed)
