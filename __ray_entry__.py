@@ -328,39 +328,60 @@ def _wrapped_pages(sf_dir: str):
     return ds.map_batches(_wrap_batch, batch_format="pyarrow")
 
 
+def _chrome_wrap(batch: pa.Table) -> pa.Table:
+    """Deterministic chrome (nav links, header banner, footer) around each
+    document's text — the shared input of the main_content / extract_full
+    boilerplate-classification queries."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    htmls = [
+        ("<html><head><meta charset='utf-8'><title>d</title></head>"
+         "<body><nav><a href='/'>Home</a> <a href='/a'>About</a> "
+         "<a href='/c'>Contact</a></nav>"
+         "<header><div>Site Header Banner</div></header>"
+         f"<article><h1>Doc {i}</h1><p>{_escape(t)}</p></article>"
+         "<footer><p>Copyright 2024 example.com</p></footer>"
+         "</body></html>").encode("utf-8")
+        for i, t in zip(ids, texts)
+    ]
+    return pa.table({
+        "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
 def q_main_content(sf_dir: str):
     """Boilerplate-stripped main content (north-star classification step:
     text density, link density, tag-path chrome context, heading
     promotion, short-block smoothing — htmlcore/boilerplate.py). The wrap
-    plants deterministic chrome (nav links, header banner, footer) around
-    the article; the classifier must drop all of it and keep h1+p iff the
-    paragraph has >= 5 words, which SQL reproduces."""
-    import datetime
+    plants deterministic chrome around the article; the classifier must
+    drop all of it and keep h1+p iff the paragraph has >= 5 words, which
+    SQL reproduces."""
     from html_parser_ray.stages.main_content import main_content_pages
 
-    def wrap(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        htmls = [
-            ("<html><head><meta charset='utf-8'><title>d</title></head>"
-             "<body><nav><a href='/'>Home</a> <a href='/a'>About</a> "
-             "<a href='/c'>Contact</a></nav>"
-             "<header><div>Site Header Banner</div></header>"
-             f"<article><h1>Doc {i}</h1><p>{_escape(t)}</p></article>"
-             "<footer><p>Copyright 2024 example.com</p></footer>"
-             "</body></html>").encode("utf-8")
-            for i, t in zip(ids, texts)
-        ]
-        return pa.table({
-            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "html": pa.array(htmls, pa.binary()),
-        })
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = main_content_pages(ds.map_batches(wrap, batch_format="pyarrow"))
+    out = main_content_pages(
+        ds.map_batches(_chrome_wrap, batch_format="pyarrow"))
     return out.map_batches(
         lambda b: b.select(["doc_id", "main_text", "n_blocks",
+                            "n_content_blocks"]),
+        batch_format="pyarrow")
+
+
+def q_extract_full(sf_dir: str):
+    """Fused single-parse extraction: full visibleText AND main content
+    from ONE decode+tokenize+tree pass per document
+    (stages/fused.FusedExtractStage). Running the two stages separately
+    parses every page twice — the dominant cost at 100 TB; the fused
+    stage halves it for pipelines that need both outputs."""
+    from html_parser_ray.stages.fused import fused_extract_pages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fused_extract_pages(
+        ds.map_batches(_chrome_wrap, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text", "main_text", "n_blocks",
                             "n_content_blocks"]),
         batch_format="pyarrow")
 
@@ -780,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
         "main_content": q_main_content,
+        "extract_full": q_extract_full,
         "pdf_extract": q_pdf_extract,
         "outline": q_outline,
         "serialize_roundtrip": q_serialize_roundtrip,
@@ -919,6 +941,28 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT doc_id, norm, CASE WHEN norm = '' THEN 0 "
             "ELSE len(string_split(norm, ' ')) END AS words FROM c) "
             "SELECT doc_id, "
+            "CASE WHEN words >= 5 THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "|| chr(10) || chr(10) || norm ELSE '' END AS main_text, "
+            "CAST(CASE WHEN norm = '' THEN 4 ELSE 5 END AS BIGINT) "
+            "AS n_blocks, "
+            "CAST(CASE WHEN words >= 5 THEN 2 ELSE 0 END AS BIGINT) "
+            "AS n_content_blocks FROM w"
+        ),
+        # extract_full: the fused stage's visible text over the chrome
+        # wrap is the five blocks (nav / header / h1 / p / footer) joined
+        # with blank lines, the empty-paragraph case collapsing to four;
+        # main_text / block counters are identical to main_content's
+        "extract_full": (
+            "WITH c AS (SELECT doc_id, " + _NORM_SQL + " AS norm "
+            "FROM documents), "
+            "w AS (SELECT doc_id, norm, CASE WHEN norm = '' THEN 0 "
+            "ELSE len(string_split(norm, ' ')) END AS words FROM c) "
+            "SELECT doc_id, "
+            "'Home About Contact' || chr(10) || chr(10) || "
+            "'Site Header Banner' || chr(10) || chr(10) || "
+            "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
+            "CASE WHEN norm = '' THEN '' ELSE norm || chr(10) || chr(10) "
+            "END || 'Copyright 2024 example.com' AS text, "
             "CASE WHEN words >= 5 THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
             "|| chr(10) || chr(10) || norm ELSE '' END AS main_text, "
             "CAST(CASE WHEN norm = '' THEN 4 ELSE 5 END AS BIGINT) "

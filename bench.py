@@ -145,7 +145,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "minhash_neardup_pairs", "minhash_dedup", "clean_corpus", "ann_topk",
                  "ann_ivf_topk", "pricing_summary", "revenue_by_nation", "purchase_attribution", "purchase_error_window", "sessionize",
                  "tumbling_window", "hopping_window", "outline", "main_content",
-                 "pdf_extract", "serialize_roundtrip", "image_features"]:
+                 "extract_full", "pdf_extract", "serialize_roundtrip",
+                 "image_features"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

@@ -775,3 +775,29 @@ def test_clean_corpus_checkpoint_param_mismatch_raises(ray_session,
     assert kept == [1]
     with _pytest.raises(ValueError, match="params"):
         clean_corpus(ds, min_ws_tokens=5, checkpoint_dir=ckpt)
+
+
+def test_fused_extract_matches_separate_stages(ray_session):
+    # one parse must reproduce BOTH stages' outputs per row
+    import ray
+    from html_parser_ray.sources.synth import pages_dataset
+    from html_parser_ray.stages.extract import extract_pages
+    from html_parser_ray.stages.main_content import main_content_pages
+    from html_parser_ray.stages.fused import fused_extract_pages
+    pages = pages_dataset(60, seed=11, parallelism=4)
+    fused = {r["url"]: r for r in
+             fused_extract_pages(pages, concurrency=2,
+                                 batch_size=32).take_all()}
+    ext = {r["url"]: r for r in
+           extract_pages(pages, concurrency=2, batch_size=32).take_all()}
+    main = {r["url"]: r for r in
+            main_content_pages(pages, concurrency=2,
+                               batch_size=32).take_all()}
+    assert set(fused) == set(ext) == set(main)
+    for url, f in fused.items():
+        if f["status"] != "ok":
+            continue
+        assert f["text"] == ext[url]["text"]
+        assert f["main_text"] == main[url]["main_text"]
+        assert f["n_blocks"] == main[url]["n_blocks"]
+        assert f["n_content_blocks"] == main[url]["n_content_blocks"]

@@ -1,7 +1,7 @@
 """Driver-style correctness check: run each queries() entry and its
 oracle_sql() side-by-side over an sf dir, compare row-count + sorted values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 import os
@@ -33,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
@@ -49,6 +49,8 @@ def main(sf_dir: str) -> int:
     oracles = em.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as exc:
@@ -102,4 +104,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)
