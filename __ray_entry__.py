@@ -181,6 +181,78 @@ def q_langid(sf_dir: str):
     return ds.map_batches(langid_batch, batch_format="pyarrow")
 
 
+def q_repetition_features(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021):
+    duplicate-word fraction, top-2/3-gram char fraction, duplicate-3-gram
+    char coverage — integer basis points, exact SQL parity."""
+    from html_parser_ray.functions.textstats import repetition_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def _pii_wrap(batch: pa.Table) -> pa.Table:
+    """Deterministic PII planted per doc (doc_id%3 emails, an IPv4 on
+    even ids, one phone) — the shared input of the pii_redact query and
+    its DuckDB oracle, which reconstructs the same string in SQL."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        parts = [t, "Contact:"]
+        parts += [f"user{i}@mail{i % 7}.example.com"] * (i % 3)
+        if i % 2 == 0:
+            parts.append(f"ip 10.{i % 200}.{(i // 7) % 200}.{i % 250}")
+        parts.append(f"tel +{1 + i % 9}-{100 + i % 900}-{1000 + i % 9000}")
+        out.append(" ".join(parts))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the planted-PII wrap: email / IPv4 / phone regex
+    redaction (RE2-compatible patterns) + per-doc match counts. The
+    oracle runs DuckDB's regexp_replace / regexp_extract_all over the
+    identical constructed string — a true cross-engine regex
+    differential."""
+    from html_parser_ray.functions.redact import redact_corpus
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return redact_corpus(ds.map_batches(_pii_wrap, batch_format="pyarrow"))
+
+
+def _url_wrap(batch: pa.Table) -> pa.Table:
+    """Deterministic messy URL per doc (upper-case scheme/host, default
+    port, dot-segments, tracking params, unsorted query, fragment) —
+    shared input of url_canonical / host_rollup and their oracles."""
+    ids = batch.column("doc_id").to_pylist()
+    urls = []
+    for i in ids:
+        k = i % 23
+        host = (f"News.Site{k}.CO.UK" if i % 5 == 0
+                else f"WWW.Site{k}.COM")
+        urls.append(f"HTTP://{host}:80/a/{i}/../b/{i}"
+                    f"?utm_source=x&b=2&a=1#frag")
+    out = {name: batch.column(name) for name in batch.column_names}
+    out["url"] = pa.array(urls, pa.string())
+    return pa.table(out)
+
+
+def q_url_canonical(sf_dir: str):
+    from html_parser_ray.functions.urls import canonicalize_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = ds.map_batches(_url_wrap, batch_format="pyarrow") \
+            .map_batches(canonicalize_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "canonical_url", "host",
+                            "registered_domain"]),
+        batch_format="pyarrow")
+
+
+def q_host_rollup(sf_dir: str):
+    from html_parser_ray.functions.urls import host_rollup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return host_rollup(ds.map_batches(_url_wrap, batch_format="pyarrow"))
+
+
 def q_simhash(sf_dir: str):
     from html_parser_ray.functions.dedup import simhash_batch
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -793,6 +865,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": q_quality_features,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
+        "repetition_features": q_repetition_features,
+        "pii_redact": q_pii_redact,
+        "url_canonical": q_url_canonical,
+        "host_rollup": q_host_rollup,
         "simhash": q_simhash,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "minhash_dedup": q_minhash_dedup,
@@ -1076,6 +1152,125 @@ def oracle_sql() -> dict[str, str]:
             "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
             "WHEN hits_fr >= hits_es THEN 'fr' "
             "ELSE 'es' END AS lang_pred, lang_true FROM h"
+        ),
+        # repetition_features: Gopher repetition signals re-derived via
+        # unnest + positional self-joins; tie-break for "top n-gram" is
+        # ORDER BY cnt DESC, g ASC = Python's (max count, min string);
+        # integer-bp arithmetic matches repetition_counts exactly
+        "repetition_features": (
+            "WITH c AS (SELECT doc_id, " + _NORM_SQL + " AS norm "
+            "FROM documents), "
+            "w AS (SELECT doc_id, norm, CASE WHEN norm = '' THEN "
+            "CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS ws "
+            "FROM c), "
+            "base AS (SELECT doc_id, norm, len(ws) AS n_words, "
+            "len(list_distinct(ws)) AS n_uniq FROM w), "
+            "t AS (SELECT doc_id, unnest(ws) AS wd, "
+            "generate_subscripts(ws, 1) AS i FROM w), "
+            "g2 AS (SELECT a.doc_id, a.wd || ' ' || b.wd AS g FROM t a "
+            "JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+            "c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 "
+            "GROUP BY 1, 2), "
+            "top2 AS (SELECT doc_id, cnt, g FROM (SELECT doc_id, cnt, g, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, "
+            "g ASC) AS rn FROM c2) WHERE rn = 1), "
+            "g3 AS (SELECT a.doc_id, a.i AS s, "
+            "a.wd || ' ' || b.wd || ' ' || c3w.wd AS g FROM t a "
+            "JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN t c3w ON c3w.doc_id = a.doc_id AND c3w.i = a.i + 2), "
+            "c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 "
+            "GROUP BY 1, 2), "
+            "top3 AS (SELECT doc_id, cnt, g FROM (SELECT doc_id, cnt, g, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, "
+            "g ASC) AS rn FROM c3) WHERE rn = 1), "
+            "dup3 AS (SELECT DISTINCT g3.doc_id, g3.s FROM g3 "
+            "JOIN c3 ON c3.doc_id = g3.doc_id AND c3.g = g3.g "
+            "WHERE c3.cnt >= 2), "
+            "cov AS (SELECT DISTINCT t.doc_id, t.i FROM t JOIN dup3 d "
+            "ON d.doc_id = t.doc_id AND t.i BETWEEN d.s AND d.s + 2), "
+            "covc AS (SELECT t.doc_id, SUM(LENGTH(t.wd)) AS cov_chars "
+            "FROM t JOIN cov ON cov.doc_id = t.doc_id AND cov.i = t.i "
+            "GROUP BY 1) "
+            "SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, "
+            "CAST(CASE WHEN b.n_words = 0 THEN 0 ELSE "
+            "(b.n_words - b.n_uniq) * 10000 // b.n_words END AS BIGINT) "
+            "AS dup_word_frac_bp, "
+            "CAST(CASE WHEN b.n_words >= 2 THEN "
+            "t2.cnt * LENGTH(t2.g) * 10000 // LENGTH(b.norm) ELSE 0 END "
+            "AS BIGINT) AS top2_char_frac_bp, "
+            "CAST(CASE WHEN b.n_words >= 3 THEN "
+            "t3.cnt * LENGTH(t3.g) * 10000 // LENGTH(b.norm) ELSE 0 END "
+            "AS BIGINT) AS top3_char_frac_bp, "
+            "CAST(CASE WHEN b.n_words >= 3 AND "
+            "LENGTH(b.norm) - (b.n_words - 1) > 0 THEN "
+            "COALESCE(cc.cov_chars, 0) * 10000 // "
+            "(LENGTH(b.norm) - (b.n_words - 1)) ELSE 0 END AS BIGINT) "
+            "AS dup3_char_frac_bp "
+            "FROM base b LEFT JOIN top2 t2 USING (doc_id) "
+            "LEFT JOIN top3 t3 USING (doc_id) "
+            "LEFT JOIN covc cc USING (doc_id)"
+        ),
+        # pii_redact: reconstruct the planted-PII wrap in SQL, then run
+        # DuckDB's RE2 regexp_replace / regexp_extract_all with the SAME
+        # patterns in the SAME order (email -> ip -> phone) — a true
+        # cross-engine regex differential against Python re
+        "pii_redact": (
+            "WITH wrapped AS (SELECT doc_id, text || ' Contact:' || "
+            "repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.example.com', doc_id % 3) "
+            "|| CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || "
+            "CAST(doc_id % 200 AS VARCHAR) || '.' || "
+            "CAST((doc_id // 7) % 200 AS VARCHAR) || '.' || "
+            "CAST(doc_id % 250 AS VARCHAR) ELSE '' END || "
+            "' tel +' || CAST(1 + doc_id % 9 AS VARCHAR) || '-' || "
+            "CAST(100 + doc_id % 900 AS VARCHAR) || '-' || "
+            "CAST(1000 + doc_id % 9000 AS VARCHAR) AS s FROM documents), "
+            "e AS (SELECT doc_id, "
+            "regexp_replace(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'[EMAIL]', 'g') AS s1, "
+            "len(regexp_extract_all(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS n_emails FROM wrapped), "
+            "p AS (SELECT doc_id, n_emails, "
+            "regexp_replace(s1, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g') AS s2, "
+            "len(regexp_extract_all(s1, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips FROM e) "
+            "SELECT doc_id, "
+            "regexp_replace(s2, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', "
+            "'[PHONE]', 'g') AS text, "
+            "CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_ips AS BIGINT) AS n_ips, "
+            "CAST(len(regexp_extract_all(s2, "
+            "'\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones "
+            "FROM p"
+        ),
+        # url_canonical / host_rollup: the canonical form is derivable
+        # from doc_id arithmetic (the wrap is generated), so the oracle is
+        # SQL string construction vs the Ray-side actual URL parser —
+        # scheme/host lowercase, :80 stripped, /a/{i}/../b/{i} resolved to
+        # /a/b/{i}, utm_source dropped, query sorted, fragment dropped
+        "url_canonical": (
+            "WITH h AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "'news.site' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk' "
+            "ELSE 'www.site' || CAST(doc_id % 23 AS VARCHAR) || '.com' "
+            "END AS host, CASE WHEN doc_id % 5 = 0 THEN "
+            "'site' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk' "
+            "ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.com' "
+            "END AS registered_domain FROM documents) "
+            "SELECT doc_id, 'http://' || host || '/a/b/' || "
+            "CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url, "
+            "host, registered_domain FROM h"
+        ),
+        "host_rollup": (
+            "SELECT CASE WHEN doc_id % 5 = 0 THEN "
+            "'site' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk' "
+            "ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.com' END "
+            "AS registered_domain, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1"
         ),
         # simhash: fully SQL-expressible since r3 — token hashes are the
         # lower 8 md5 digest bytes (little-endian), which DuckDB computes

@@ -146,7 +146,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "ann_ivf_topk", "pricing_summary", "revenue_by_nation", "purchase_attribution", "purchase_error_window", "sessionize",
                  "tumbling_window", "hopping_window", "outline", "main_content",
                  "extract_full", "pdf_extract", "serialize_roundtrip",
-                 "image_features"]:
+                 "image_features", "repetition_features", "pii_redact",
+                 "host_rollup"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

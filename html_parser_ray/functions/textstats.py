@@ -185,6 +185,72 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def repetition_counts(text: str) -> tuple[int, int, int, int, int]:
+    """Gopher-style repetition signals (Rae et al. 2021, public) over the
+    normalized single-space word stream, in exact integer basis points so
+    a DuckDB oracle reproduces them bit-for-bit:
+
+    (n_words,
+     dup_word_frac_bp       — repeated word occurrences / total words,
+     top2_char_frac_bp      — chars covered by the most frequent 2-gram
+                              (count × len("w1 w2")) / len(norm text),
+     top3_char_frac_bp      — same for 3-grams,
+     dup3_char_frac_bp      — chars of words covered by ANY 3-gram that
+                              occurs ≥2 times, each word counted once,
+                              / total word chars)
+
+    Tie-break for "most frequent": highest count, then lexicographically
+    smallest n-gram string — matches SQL ORDER BY cnt DESC, g ASC.
+    """
+    norm = normalize_text(text)
+    words = norm.split(" ") if norm else []
+    n_words = len(words)
+    if n_words == 0:
+        return (0, 0, 0, 0, 0)
+    total_chars = len(norm)
+    word_chars = total_chars - (n_words - 1)
+    dup_word_bp = (n_words - len(set(words))) * 10_000 // n_words
+
+    def top_ngram_bp(n: int) -> int:
+        if n_words < n:
+            return 0
+        counts: dict[str, int] = {}
+        for i in range(n_words - n + 1):
+            g = " ".join(words[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        best_cnt = max(counts.values())
+        best = min(g for g, c in counts.items() if c == best_cnt)
+        return best_cnt * len(best) * 10_000 // total_chars
+
+    dup3_bp = 0
+    if n_words >= 3:
+        counts3: dict[tuple, int] = {}
+        for i in range(n_words - 2):
+            g = (words[i], words[i + 1], words[i + 2])
+            counts3[g] = counts3.get(g, 0) + 1
+        covered = bytearray(n_words)
+        for i in range(n_words - 2):
+            if counts3[(words[i], words[i + 1], words[i + 2])] >= 2:
+                covered[i] = covered[i + 1] = covered[i + 2] = 1
+        cov_chars = sum(len(w) for w, c in zip(words, covered) if c)
+        dup3_bp = cov_chars * 10_000 // word_chars if word_chars else 0
+
+    return (n_words, dup_word_bp, top_ngram_bp(2), top_ngram_bp(3), dup3_bp)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    feats = [repetition_counts(t) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array([f[0] for f in feats], pa.int64()),
+        "dup_word_frac_bp": pa.array([f[1] for f in feats], pa.int64()),
+        "top2_char_frac_bp": pa.array([f[2] for f in feats], pa.int64()),
+        "top3_char_frac_bp": pa.array([f[3] for f in feats], pa.int64()),
+        "dup3_char_frac_bp": pa.array([f[4] for f in feats], pa.int64()),
+    })
+
+
 def deterministic_sample_batch(batch: pa.Table, mod: int = 10,
                                keep: int = 0) -> pa.Table:
     """Deterministic holdout-style sampling: keep rows whose

@@ -1,0 +1,115 @@
+"""URL canonicalization + host extraction for web-corpus pipelines.
+
+Canonical form (the common crawl-dedup prep):
+  * scheme and host lowercased
+  * default ports stripped (http:80, https:443)
+  * fragment dropped
+  * path dot-segments resolved (RFC 3986 §5.2.4) and empty path → "/"
+  * tracking params dropped (utm_*, fbclid, gclid)
+  * remaining query params sorted by (key, value) for a stable key
+
+`host` and a registered-domain heuristic (last two labels, or last three
+when the second-level label is a known public-suffix second level like
+co/com/ac) come along for host-level rollups.
+
+Stateless map_batches transform: a hand-rolled parser (stdlib-only, no
+per-row urllib object churn) over the batch's url column; nothing
+shuffles. Host-level rollups then groupby the (tiny) host column only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = {"fbclid", "gclid"}
+_SECOND_LEVEL_SUFFIXES = {"co", "com", "ac", "org", "net", "gov", "edu"}
+
+
+def _resolve_dots(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if out:
+                out.pop()
+        elif seg != "." and seg != "":
+            out.append(seg)
+    return "/" + "/".join(out)
+
+
+def canonicalize_url(url: str) -> tuple[str, str, str]:
+    """(canonical_url, host, registered_domain)."""
+    rest = url
+    scheme = ""
+    if "://" in rest:
+        scheme, rest = rest.split("://", 1)
+    scheme = scheme.lower()
+    rest = rest.split("#", 1)[0]               # drop fragment
+    query = ""
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    hostport, _, path = rest.partition("/")
+    host = hostport.lower()
+    if ":" in host:
+        host, port = host.rsplit(":", 1)
+        if _DEFAULT_PORTS.get(scheme) != port:
+            host = f"{host}:{port}"
+    path = _resolve_dots("/" + path)
+    params = []
+    for pair in query.split("&"):
+        if not pair:
+            continue
+        key = pair.split("=", 1)[0]
+        if key.lower().startswith(_TRACKING_PREFIXES) \
+                or key.lower() in _TRACKING_KEYS:
+            continue
+        params.append(pair)
+    params.sort()
+    canon = f"{scheme}://{host}{path}"
+    if params:
+        canon += "?" + "&".join(params)
+    bare_host = host.rsplit(":", 1)[0] if ":" in host else host
+    labels = bare_host.split(".")
+    if len(labels) >= 3 and labels[-2] in _SECOND_LEVEL_SUFFIXES:
+        reg = ".".join(labels[-3:])
+    else:
+        reg = ".".join(labels[-2:]) if len(labels) >= 2 else bare_host
+    return canon, host, reg
+
+
+def canonicalize_batch(batch: pa.Table) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    res = [canonicalize_url(u) for u in urls]
+    out = {name: batch.column(name) for name in batch.column_names}
+    out["canonical_url"] = pa.array([r[0] for r in res], pa.string())
+    out["host"] = pa.array([r[1] for r in res], pa.string())
+    out["registered_domain"] = pa.array([r[2] for r in res], pa.string())
+    return pa.table(out)
+
+
+def _host_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial combine: collapse to one row per domain BEFORE
+    the shuffle (same combiner pattern as functions/windows.py) — what
+    crosses the exchange is |domains-in-batch| rows, not |docs|."""
+    g = batch.select(["registered_domain", "n_chars"]) \
+        .group_by("registered_domain") \
+        .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+    return pa.table({
+        "registered_domain": g.column("registered_domain"),
+        "n_docs": g.column("n_chars_count").cast(pa.int64()),
+        "sum_chars": g.column("n_chars_sum").cast(pa.int64()),
+    })
+
+
+def host_rollup(ds):
+    """Dataset[..., url, n_chars] → per-registered-domain doc count and
+    char sum. Canonicalize in map_batches (stateless, vectorized),
+    partial-aggregate per batch, then one small groupby over the
+    partials — only (domain, n_docs, sum_chars) rows move."""
+    from ray.data.aggregate import Sum
+    canon = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    partial = canon.map_batches(_host_partial, batch_format="pyarrow")
+    return partial.groupby("registered_domain").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"))

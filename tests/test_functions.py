@@ -146,3 +146,133 @@ def test_hyperplane_keys_deterministic_and_identical_vectors_collide():
     k3 = dedup.hyperplane_keys(dup, sign_bits=16, n_tables=4)
     for t in range(4):
         assert k3[t][8] == k3[t][0]   # exact copy shares every table bucket
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style, Rae et al. 2021)
+
+def test_repetition_counts_uniform_doc():
+    # "a b c d" — all distinct, every 2/3-gram unique
+    n, dupw, top2, top3, dup3 = textstats.repetition_counts("a b c d")
+    assert n == 4
+    assert dupw == 0
+    # top 2-gram count 1, len("a b")=3, total chars 7 -> 3*10000//7
+    assert top2 == 3 * 10_000 // 7
+    assert top3 == 5 * 10_000 // 7
+    assert dup3 == 0
+
+
+def test_repetition_counts_fully_repeated():
+    # "x x x x x": dup word frac = 4/5; every 3-gram is "x x x" (cnt 3)
+    n, dupw, top2, top3, dup3 = textstats.repetition_counts("x x x x x")
+    assert n == 5
+    assert dupw == 4 * 10_000 // 5
+    assert top2 == 4 * 3 * 10_000 // 9     # "x x" occurs 4x, len 3, text 9
+    assert top3 == 3 * 5 * 10_000 // 9
+    assert dup3 == 10_000                   # every word covered
+
+
+def test_repetition_counts_tie_break_lexicographic():
+    # "b a b a": 2-grams "b a"(2x? positions 0,2 -> b a, a b, b a) counts:
+    # "b a"=2, "a b"=1 -> top is "b a" by count
+    _, _, top2, _, _ = textstats.repetition_counts("b a b a")
+    assert top2 == 2 * 3 * 10_000 // 7
+    # all counts equal -> lexicographically smallest wins ("a b" < "b a")
+    _, _, top2e, _, _ = textstats.repetition_counts("a b c a")
+    # 2-grams: "a b","b c","c a" all cnt 1 -> "a b" chosen, len 3, total 7
+    assert top2e == 3 * 10_000 // 7
+
+
+def test_repetition_counts_empty_and_whitespace():
+    assert textstats.repetition_counts("") == (0, 0, 0, 0, 0)
+    assert textstats.repetition_counts("  \t\n ") == (0, 0, 0, 0, 0)
+    assert textstats.repetition_counts("one") == (1, 0, 0, 0, 0)
+
+
+def test_repetition_counts_dup3_partial_coverage():
+    # "p q r p q r z": 3-gram "p q r" occurs 2x (positions 0 and 3);
+    # covered word idx: 0..2 and 3..5 -> all but "z"
+    n, _, _, _, dup3 = textstats.repetition_counts("p q r p q r z")
+    assert n == 7
+    word_chars = 7  # seven 1-char words
+    assert dup3 == 6 * 10_000 // word_chars
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+def test_redact_all_kinds():
+    from html_parser_ray.functions import redact as rd
+    text = ("mail bob.smith+x@sub.example.co.uk then 192.168.0.1 and "
+            "+44-555-0199 done")
+    out, ne, ni, np_ = rd.redact(text)
+    assert out == "mail [EMAIL] then [IP] and [PHONE] done"
+    assert (ne, ni, np_) == (1, 1, 1)
+
+
+def test_redact_no_pii_is_identity():
+    from html_parser_ray.functions import redact as rd
+    text = "plain words only no contact info here"
+    assert rd.redact(text) == (text, 0, 0, 0)
+
+
+def test_redact_ip_word_boundary():
+    from html_parser_ray.functions import redact as rd
+    # version strings like 1.2.3.4.5 still match the first dotted quad
+    # (\b boundaries are digit-edge, not dot-edge) — pin the behavior
+    out, _, ni, _ = rd.redact("v 10.0.0.1 ok")
+    assert out == "v [IP] ok" and ni == 1
+
+
+def test_redact_batch_schema():
+    from html_parser_ray.functions.redact import redact_batch
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a@b.com x", "clean"], pa.string())})
+    out = redact_batch(batch)
+    assert out.column_names == ["doc_id", "text", "n_emails", "n_ips",
+                                "n_phones"]
+    assert out.column("text").to_pylist() == ["[EMAIL] x", "clean"]
+    assert out.column("n_emails").to_pylist() == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+
+def test_canonicalize_url_full():
+    from html_parser_ray.functions.urls import canonicalize_url
+    canon, host, reg = canonicalize_url(
+        "HTTP://WWW.Example.COM:80/a/b/../c/./d?utm_source=x&z=1&a=2#frag")
+    assert canon == "http://www.example.com/a/c/d?a=2&z=1"
+    assert host == "www.example.com"
+    assert reg == "example.com"
+
+
+def test_canonicalize_url_non_default_port_kept():
+    from html_parser_ray.functions.urls import canonicalize_url
+    canon, host, reg = canonicalize_url("https://Site.ORG:8443/x")
+    assert canon == "https://site.org:8443/x"
+    assert host == "site.org:8443"
+    assert reg == "site.org"
+
+
+def test_canonicalize_url_public_suffix_heuristic():
+    from html_parser_ray.functions.urls import canonicalize_url
+    _, _, reg = canonicalize_url("http://news.bbc.co.uk/page")
+    assert reg == "bbc.co.uk"
+    _, _, reg2 = canonicalize_url("http://a.b.example.net/")
+    assert reg2 == "example.net"
+
+
+def test_canonicalize_url_dotdot_past_root_and_empty_path():
+    from html_parser_ray.functions.urls import canonicalize_url
+    canon, _, _ = canonicalize_url("http://h.com/../../x")
+    assert canon == "http://h.com/x"
+    canon2, _, _ = canonicalize_url("http://h.com")
+    assert canon2 == "http://h.com/"
+
+
+def test_canonicalize_url_tracking_params_dropped():
+    from html_parser_ray.functions.urls import canonicalize_url
+    canon, _, _ = canonicalize_url(
+        "http://h.com/p?gclid=1&utm_campaign=c&keep=1&fbclid=2")
+    assert canon == "http://h.com/p?keep=1"
