@@ -253,6 +253,32 @@ def q_host_rollup(sf_dir: str):
     return host_rollup(ds.map_batches(_url_wrap, batch_format="pyarrow"))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-10 words via the two-phase sketch (Misra-Gries partial
+    summaries -> merged candidates -> broadcast exact recount). The
+    sketch only PRUNES, so plain SQL word-count top-k is the oracle."""
+    from html_parser_ray.functions.sketches import heavy_hitter_words
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return heavy_hitter_words(ds, k=10)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact n_chars quantiles via the distributed value histogram;
+    rank rule pinned to DuckDB quantile_disc (max(1, ceil(q*n))) in
+    exact integer arithmetic on both sides."""
+    from html_parser_ray.functions.sketches import exact_quantiles
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars", [2500, 5000, 7500, 9000, 9900])
+
+
+def q_top_terms(sf_dir: str):
+    """Most salient term per doc: broadcast-df two-pass TF-IDF surrogate
+    (integer score tf * ((N*1000) // df) — log-free, SQL-exact)."""
+    from html_parser_ray.functions.tfidf import top_terms
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_terms(ds, n_docs=ds.count())
+
+
 def q_simhash(sf_dir: str):
     from html_parser_ray.functions.dedup import simhash_batch
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -869,6 +895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
+        "heavy_hitters": q_heavy_hitters,
+        "quantiles": q_quantiles,
+        "top_terms": q_top_terms,
         "simhash": q_simhash,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "minhash_dedup": q_minhash_dedup,
@@ -1271,6 +1300,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        # heavy_hitters: the sketch phase only prunes candidates and the
+        # verify phase is an exact recount, so the result IS the exact
+        # word-count top-10 (explicit ASCII token class, both sides)
+        "heavy_hitters": (
+            "WITH toks AS (SELECT tok FROM (SELECT "
+            "unnest(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\r\\f]+')) AS tok FROM documents) "
+            "WHERE tok <> '') "
+            "SELECT tok AS word, CAST(count(*) AS BIGINT) AS count "
+            "FROM toks GROUP BY 1 "
+            "ORDER BY count DESC, word ASC LIMIT 10"
+        ),
+        # quantiles: rank = max(1, ceil(q_bp*n/10000)) in pure integer
+        # arithmetic on both sides (no float quantile call — DuckDB's
+        # quantile_disc agrees, probed at n up to 50k, but the integer
+        # join removes the cross-engine float hazard entirely)
+        "quantiles": (
+            "WITH s AS (SELECT n_chars, "
+            "row_number() OVER (ORDER BY n_chars) AS rn, "
+            "count(*) OVER () AS n FROM documents) "
+            "SELECT CAST(q.q_bp AS BIGINT) AS q_bp, "
+            "CAST(s.n_chars AS BIGINT) AS value FROM s JOIN "
+            "(VALUES (2500), (5000), (7500), (9000), (9900)) AS q(q_bp) "
+            "ON s.rn = GREATEST(1, (q.q_bp * s.n + 9999) // 10000)"
+        ),
+        # top_terms: integer-exact tf-idf surrogate, ties to the
+        # lexicographically smaller word on both sides
+        "top_terms": (
+            "WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\r\\f]+')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t "
+            "GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, "
+            "tf.tf * ((nn.n * 1000) // df.df) AS score "
+            "FROM tf JOIN df USING (tok) CROSS JOIN nn), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, tok ASC) AS rn FROM sc) "
+            "SELECT d.doc_id, COALESCE(r.tok, '') AS top_term, "
+            "CAST(COALESCE(r.tf, 0) AS BIGINT) AS tf, "
+            "CAST(COALESCE(r.df, 0) AS BIGINT) AS df, "
+            "CAST(COALESCE(r.score, 0) AS BIGINT) AS score "
+            "FROM documents d LEFT JOIN "
+            "(SELECT * FROM r WHERE rn = 1) r USING (doc_id)"
         ),
         # simhash: fully SQL-expressible since r3 — token hashes are the
         # lower 8 md5 digest bytes (little-endian), which DuckDB computes

@@ -1,0 +1,139 @@
+"""Distributed summary operators: heavy-hitter top-k words and exact
+quantiles — the sketch/summary layer a 100-TB corpus profile needs.
+
+Both follow the same scale shape: a per-batch PARTIAL summary inside
+`map_batches` (bounded output per batch, independent of batch row count),
+one small `groupby` over the partials, and a driver-side finish over a
+result whose size is bounded by the summary capacity — never by the
+corpus. Nothing unbounded ever reaches the driver.
+
+heavy-hitter pattern (two-phase, exact result):
+  1. Misra-Gries summary per batch (capacity m): at most m (word, weight)
+     rows per batch, each weight an UNDERestimate with error ≤
+     batch_tokens/(m+1). Merging by summation keeps the mergeable-summary
+     guarantee (Agarwal et al. 2012, "Mergeable Summaries"): global
+     underestimate with error ≤ N/(m+1).
+  2. Candidate prune: top (candidate_factor × k) summary words by merged
+     weight. Any true top-k word is present as long as its frequency gap
+     vs the cut exceeds N/(m+1) — size m generously (default 4096).
+  3. Exact verify: broadcast the candidate vocabulary (ray.put), recount
+     ONLY candidates in one more pass, exact groupby-sum, top-k with the
+     deterministic (count DESC, word ASC) order.
+The final answer is EXACT (sketch only prunes), so a plain SQL word-count
+top-k oracles it.
+
+exact quantiles via value histogram:
+  per-batch value-counts → groupby(value).sum → the histogram (bounded by
+  value CARDINALITY, not row count) is sorted on the driver and walked by
+  cumulative count. Rank rule pinned to DuckDB's quantile_disc:
+  rank = max(1, ceil(q·n)) over the sorted multiset, computed in exact
+  integer arithmetic (q in basis points) — verified against DuckDB at
+  n ∈ {4,5,10,20,...,50000}. Right when cardinality ≪ rows (ints, enums,
+  bucketed floats); for unbounded-cardinality columns a KLL/GK sketch
+  would replace the histogram (documented trade, not needed here).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS = re.compile(r"[ \t\n\r\f]+")
+
+
+def misra_gries(tokens: list[str], capacity: int) -> dict[str, int]:
+    """Classic Misra-Gries frequent-items summary: ≤ capacity counters,
+    each an underestimate by at most len(tokens)/(capacity+1)."""
+    counters: dict[str, int] = {}
+    for tok in tokens:
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < capacity:
+            counters[tok] = 1
+        else:
+            dead = [w for w in counters if counters[w] == 1]
+            for w in counters:
+                counters[w] -= 1
+            for w in dead:
+                del counters[w]
+    return counters
+
+
+def _tokens_of(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def heavy_hitter_words(ds, k: int = 10, capacity: int = 4096,
+                       candidate_factor: int = 4):
+    """Dataset[..., text] → pa.Table(word, count) of the EXACT top-k
+    words (count DESC, word ASC), computed sketch-first. Returns a small
+    in-memory table (≤ k rows) — the driver-side finish is bounded by
+    candidate_factor × k, never by the corpus."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks.extend(_tokens_of(text))
+        counters = misra_gries(toks, capacity)
+        return pa.table({"word": pa.array(list(counters), pa.string()),
+                         "wt": pa.array(list(counters.values()), pa.int64())})
+
+    merged = ds.map_batches(summarize, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("wt", alias_name="wt"))
+    cand = merged.sort("wt", descending=True) \
+        .limit(candidate_factor * k).take_all()
+    cand_words = frozenset(r["word"] for r in cand)
+    cand_ref = ray.put(cand_words)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in _tokens_of(text):
+                if tok in vocab:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"word": pa.array(list(counts), pa.string()),
+                         "count": pa.array(list(counts.values()), pa.int64())})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("count", alias_name="count")) \
+        .take_all()
+    exact.sort(key=lambda r: (-r["count"], r["word"]))
+    top = exact[:k]
+    return pa.table({"word": pa.array([r["word"] for r in top], pa.string()),
+                     "count": pa.array([r["count"] for r in top], pa.int64())})
+
+
+def exact_quantiles(ds, col: str, q_bps: list[int]):
+    """Dataset[..., col:int] → pa.Table(q_bp, value): exact discrete
+    quantiles via a distributed value histogram. Shuffles one row per
+    DISTINCT value per batch; the driver sees only the global histogram
+    (cardinality-bounded)."""
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"value": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    hist = ds.map_batches(value_counts, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("n", alias_name="n")).take_all()
+    hist.sort(key=lambda r: r["value"])
+    counts = np.array([r["n"] for r in hist], dtype=np.int64)
+    values = np.array([r["value"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q_bp in q_bps:
+        # DuckDB quantile_disc rank rule, exact integer arithmetic
+        rank = max(1, -(-q_bp * n // 10_000))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(q_bp)
+        out_v.append(int(values[idx]) if n else 0)
+    return pa.table({"q_bp": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -276,3 +276,82 @@ def test_canonicalize_url_tracking_params_dropped():
     canon, _, _ = canonicalize_url(
         "http://h.com/p?gclid=1&utm_campaign=c&keep=1&fbclid=2")
     assert canon == "http://h.com/p?keep=1"
+
+
+# ---------------------------------------------------------------------------
+# sketches: Misra-Gries heavy hitters + exact quantiles
+
+def test_misra_gries_bounds():
+    from html_parser_ray.functions.sketches import misra_gries
+    import random
+    rng = random.Random(7)
+    stream = (["hot"] * 500 + ["warm"] * 200
+              + [f"w{rng.randrange(400)}" for _ in range(1000)])
+    rng.shuffle(stream)
+    capacity = 50
+    summary = misra_gries(stream, capacity)
+    assert len(summary) <= capacity
+    true = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    err = len(stream) / (capacity + 1)
+    for w, wt in summary.items():
+        assert wt <= true[w]                       # underestimate
+        assert wt >= true[w] - err                 # bounded error
+    # a word with frequency > N/(capacity+1) must be present
+    assert "hot" in summary and "warm" in summary
+
+
+def test_misra_gries_capacity_one():
+    from html_parser_ray.functions.sketches import misra_gries
+    # majority-element special case (Boyer-Moore)
+    assert "a" in misra_gries(list("ababa"), 1)
+
+
+def test_exact_quantiles_matches_numpy_rank(ray_session):
+    import ray
+    import numpy as np
+    from html_parser_ray.functions.sketches import exact_quantiles
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, size=997).astype("int64")
+    ds = ray.data.from_arrow(pa.table({"n_chars": pa.array(vals)}))
+    ds = ds.repartition(7)
+    out = exact_quantiles(ds, "n_chars", [0, 2500, 5000, 9000, 10000])
+    got = dict(zip(out.column("q_bp").to_pylist(),
+                   out.column("value").to_pylist()))
+    s = np.sort(vals)
+    n = len(s)
+    for q_bp, v in got.items():
+        rank = max(1, -(-q_bp * n // 10_000))
+        assert v == s[rank - 1], (q_bp, v, s[rank - 1])
+
+
+def test_heavy_hitters_exact_with_tiny_capacity(ray_session):
+    # capacity smaller than vocab still yields the EXACT top-k because
+    # the verify phase recounts candidates exactly and the true heavy
+    # words survive the sketch prune
+    import ray
+    from html_parser_ray.functions.sketches import heavy_hitter_words
+    texts = (["alpha beta alpha"] * 30 + ["gamma delta"] * 10
+             + [f"rare{i} beta" for i in range(25)])
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    out = heavy_hitter_words(ds, k=3, capacity=8)
+    words = out.column("word").to_pylist()
+    counts = out.column("count").to_pylist()
+    assert words[0:2] == ["alpha", "beta"]   # 60, 55
+    assert counts[0:2] == [60, 55]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_top_terms_empty_doc(ray_session):
+    import ray
+    from html_parser_ray.functions.tfidf import top_terms
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["x x common", "common", "   "], pa.string())}))
+    rows = {r["doc_id"]: r for r in top_terms(ds, n_docs=3).take_all()}
+    # doc 1: x has tf=2, df=1 -> score 2*3000=6000; common tf=1 df=2 ->1500
+    assert rows[1]["top_term"] == "x" and rows[1]["score"] == 6000
+    assert rows[2]["top_term"] == "common" and rows[2]["df"] == 2
+    assert rows[3]["top_term"] == "" and rows[3]["score"] == 0
