@@ -253,6 +253,16 @@ def q_host_rollup(sf_dir: str):
     return host_rollup(ds.map_batches(_url_wrap, batch_format="pyarrow"))
 
 
+def q_dedup_spans(sf_dir: str):
+    """Corpus-global duplicate word-window removal (Lee et al. 2022
+    substring dedup, fixed 20-word windows, first occurrence kept).
+    The synthetic corpus's `text + ' dup'*k` clones share their leading
+    windows, so real cross-doc duplicates exist at every sf."""
+    from html_parser_ray.functions.spandedup import remove_duplicate_spans
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicate_spans(ds, window=20)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact top-10 words via the two-phase sketch (Misra-Gries partial
     summaries -> merged candidates -> broadcast exact recount). The
@@ -895,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
+        "dedup_spans": q_dedup_spans,
         "heavy_hitters": q_heavy_hitters,
         "quantiles": q_quantiles,
         "top_terms": q_top_terms,
@@ -1300,6 +1311,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        # dedup_spans: block keying in SQL is by the block TEXT itself
+        # (the Ray side keys by blake2b-64 of it — identical grouping
+        # absent a 2^-64 collision); first occurrence by (doc_id, bidx)
+        # = Ray's min packed id
+        "dedup_spans": (
+            "WITH c AS (SELECT doc_id, " + _NORM_SQL + " AS norm "
+            "FROM documents), "
+            "w AS (SELECT doc_id, CASE WHEN norm = '' THEN "
+            "CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS ws "
+            "FROM c), "
+            "t AS (SELECT doc_id, unnest(ws) AS wd, "
+            "generate_subscripts(ws, 1) AS i FROM w), "
+            "b AS (SELECT doc_id, (i - 1) // 20 AS bidx, "
+            "string_agg(wd, ' ' ORDER BY i) AS btext FROM t "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY btext "
+            "ORDER BY doc_id, bidx) AS rn FROM b), "
+            "agg AS (SELECT doc_id, string_agg(btext, ' ' ORDER BY bidx) "
+            "FILTER (rn = 1) AS text, count(*) AS n_blocks, "
+            "count(*) FILTER (rn > 1) AS n_dropped FROM r GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(agg.text, '') AS text, "
+            "CAST(COALESCE(agg.n_blocks, 0) AS BIGINT) AS n_blocks, "
+            "CAST(COALESCE(agg.n_dropped, 0) AS BIGINT) AS n_dropped "
+            "FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         # heavy_hitters: the sketch phase only prunes candidates and the
         # verify phase is an exact recount, so the result IS the exact

@@ -801,3 +801,66 @@ def test_fused_extract_matches_separate_stages(ray_session):
         assert f["main_text"] == main[url]["main_text"]
         assert f["n_blocks"] == main[url]["n_blocks"]
         assert f["n_content_blocks"] == main[url]["n_content_blocks"]
+
+
+def test_dedup_spans_removes_cross_doc_duplicates(ray_session):
+    import ray
+    import pyarrow as _pa
+    from html_parser_ray.functions.spandedup import remove_duplicate_spans
+    w = " ".join(f"w{i}" for i in range(20))          # one full window
+    docs = _pa.table({
+        "doc_id": _pa.array([1, 2, 3], _pa.int64()),
+        "text": _pa.array([w + " tail one", w + " other end", "unique text"],
+                          _pa.string())})
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        ray.data.from_arrow(docs).repartition(3), window=20).take_all()}
+    assert out[1]["text"] == w + " tail one"          # first occurrence kept
+    assert out[2]["text"] == "other end"              # dup window removed
+    assert out[2]["n_dropped"] == 1 and out[2]["n_blocks"] == 2
+    assert out[3]["text"] == "unique text"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_dedup_spans_within_doc_duplicate(ray_session):
+    import ray
+    import pyarrow as _pa
+    from html_parser_ray.functions.spandedup import remove_duplicate_spans
+    # 2-word window repeated inside ONE doc: second occurrence dropped
+    docs = _pa.table({"doc_id": _pa.array([7], _pa.int64()),
+                      "text": _pa.array(["a b a b"], _pa.string())})
+    out = remove_duplicate_spans(ray.data.from_arrow(docs),
+                                 window=2).take_all()[0]
+    assert out["text"] == "a b" and out["n_dropped"] == 1
+
+
+def test_dedup_spans_fallback_matches_broadcast(ray_session):
+    import ray
+    import pyarrow as _pa
+    from html_parser_ray.functions.spandedup import remove_duplicate_spans
+    texts = [f"block {i % 4} is here now plus unique{i} filler words"
+             for i in range(40)]
+    docs = _pa.table({"doc_id": _pa.array(list(range(40)), _pa.int64()),
+                      "text": _pa.array(texts, _pa.string())})
+    ds = ray.data.from_arrow(docs).repartition(5)
+    broad = {r["doc_id"]: r for r in
+             remove_duplicate_spans(ds, window=5).take_all()}
+    fall = {r["doc_id"]: r for r in
+            remove_duplicate_spans(ds, window=5,
+                                   broadcast_limit=0).take_all()}
+    assert set(broad) == set(fall) == set(range(40))
+    for i in broad:
+        for col in ("text", "n_blocks", "n_dropped"):
+            assert broad[i][col] == fall[i][col], (i, col)
+
+
+def test_dedup_spans_empty_and_whitespace_doc(ray_session):
+    import ray
+    import pyarrow as _pa
+    from html_parser_ray.functions.spandedup import remove_duplicate_spans
+    docs = _pa.table({"doc_id": _pa.array([1, 2], _pa.int64()),
+                      "text": _pa.array(["", "   "], _pa.string())})
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_spans(ray.data.from_arrow(docs)).take_all()}
+    for i in (1, 2):
+        assert rows[i]["text"] == ""
+        assert rows[i]["n_blocks"] == 0 and rows[i]["n_dropped"] == 0
