@@ -253,6 +253,66 @@ def q_host_rollup(sf_dir: str):
     return host_rollup(ds.map_batches(_url_wrap, batch_format="pyarrow"))
 
 
+def _warc_corpus(sf_dir: str) -> str:
+    """Deterministic WARC rendering of the documents table (8 shards by
+    doc_id%8, even shards plain / odd shards CC-style per-record gzip
+    members), cached under /tmp with a _DONE marker. Test scaffolding for
+    the warc_extract query — the PRODUCT path is sources/warc.read_warc
+    over real archives."""
+    import os
+    import pyarrow.parquet as pq
+    from html_parser_ray.sources.warc import make_warc
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    out_dir = os.path.join(
+        "/tmp/graft_warc",
+        os.path.basename(os.path.normpath(sf_dir)))
+    done = os.path.join(out_dir, "_DONE")
+    marker = f"{t.num_rows}"
+    if os.path.exists(done) and open(done).read() == marker:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shards: list[list] = [[] for _ in range(8)]
+    for i, text in zip(t.column("doc_id").to_pylist(),
+                       t.column("text").to_pylist()):
+        shards[i % 8].append((f"doc://{i}", "2024-01-01T00:00:00Z",
+                              text.encode("utf-8")))
+    for s, recs in enumerate(shards):
+        gz = s % 2 == 1
+        name = f"{s:02d}.warc.gz" if gz else f"{s:02d}.warc"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(make_warc(recs, gzip_members=gz))
+    with open(done, "w") as f:
+        f.write(marker)
+    return out_dir
+
+
+def q_warc_extract(sf_dir: str):
+    """WARC source round-trip: read the rendered archive shards (plain +
+    gzip-membered) with sources/warc.read_warc, recover doc_id from the
+    target URI and the text from the HTTP payload — identity oracle
+    (generator and parser must agree byte-for-byte, like pdf_extract)."""
+    from html_parser_ray.sources.warc import read_warc
+
+    warc_dir = _warc_corpus(sf_dir)
+    ds = read_warc(warc_dir)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = pa.compute.equal(batch.column("status"), "ok")
+        batch = batch.filter(ok)
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(u[len("doc://"):]) for u in urls],
+                               pa.int64()),
+            "text": pa.array([p.decode("utf-8") for p in payloads],
+                             pa.string()),
+        })
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
 def q_dedup_spans(sf_dir: str):
     """Corpus-global duplicate word-window removal (Lee et al. 2022
     substring dedup, fixed 20-word windows, first occurrence kept).
@@ -905,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
+        "warc_extract": q_warc_extract,
         "dedup_spans": q_dedup_spans,
         "heavy_hitters": q_heavy_hitters,
         "quantiles": q_quantiles,
@@ -1312,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        # warc round-trip: writer and reader must agree byte-for-byte
+        "warc_extract": "SELECT doc_id, text FROM documents",
         # dedup_spans: block keying in SQL is by the block TEXT itself
         # (the Ray side keys by blake2b-64 of it — identical grouping
         # absent a 2^-64 collision); first occurrence by (doc_id, bidx)
