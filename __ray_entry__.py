@@ -269,7 +269,11 @@ def _warc_corpus(sf_dir: str) -> str:
         "/tmp/graft_warc",
         os.path.basename(os.path.normpath(sf_dir)))
     done = os.path.join(out_dir, "_DONE")
-    marker = f"{t.num_rows}"
+    # marker = digest of the source parquet bytes: a regenerated table
+    # with the same row count must invalidate the cached WARC rendering
+    import hashlib
+    with open(os.path.join(sf_dir, "documents.parquet"), "rb") as f:
+        marker = hashlib.sha256(f.read()).hexdigest()
     if os.path.exists(done) and open(done).read() == marker:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -22,8 +22,11 @@ import pyarrow as pa
 
 # RE2-compatible: character classes + bounded repeats only.
 EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+# re.ASCII pins \b to ASCII word chars — RE2's \b is ASCII-only, and
+# without the flag Python's Unicode \b diverges from the DuckDB oracle
+# whenever a non-ASCII letter abuts the digit quad (e.g. "χ10.0.0.1").
 IPV4_RE = re.compile(
-    r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+    r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", re.ASCII)
 PHONE_RE = re.compile(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}")
 
 EMAIL_TOKEN = "[EMAIL]"

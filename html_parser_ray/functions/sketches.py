@@ -84,7 +84,10 @@ def heavy_hitter_words(ds, k: int = 10, capacity: int = 4096,
 
     merged = ds.map_batches(summarize, batch_format="pyarrow") \
         .groupby("word").aggregate(Sum("wt", alias_name="wt"))
-    cand = merged.sort("wt", descending=True) \
+    # (wt DESC, word ASC) — the word tie-break mirrors the final output
+    # order, so weight ties at the candidate cut keep exactly the words
+    # the exact top-k would select, instead of an arbitrary subset.
+    cand = merged.sort(["wt", "word"], descending=[True, False]) \
         .limit(candidate_factor * k).take_all()
     cand_words = frozenset(r["word"] for r in cand)
     cand_ref = ray.put(cand_words)

@@ -51,7 +51,11 @@ def _blocks_of(text: str, window: int) -> list[str]:
 
 
 def _pack(doc_id: int, block_idx: int) -> int:
-    assert block_idx < BLOCK_LIMIT
+    if block_idx >= BLOCK_LIMIT:
+        # a real error, not an assert: under python -O an overflow would
+        # silently alias into the NEXT doc's packed range and drop the
+        # wrong documents' blocks.
+        raise ValueError(f"block_idx {block_idx} >= BLOCK_LIMIT")
     return doc_id * BLOCK_LIMIT + block_idx
 
 
@@ -83,7 +87,15 @@ def remove_duplicate_spans(ds, *, window: int = 20,
         texts = batch.column("text").to_pylist()
         bkeys, packeds = [], []
         for i, t in zip(ids, texts):
-            for bidx, btext in enumerate(_blocks_of(t, window)):
+            blocks = _blocks_of(t, window)
+            if len(blocks) > BLOCK_LIMIT:
+                # pathological giant doc (~21M+ words at window=20):
+                # blocks past the packing limit stay out of the dedup
+                # (always kept) instead of crashing the task.
+                logger.warning("doc %d: %d blocks > BLOCK_LIMIT; tail "
+                               "excluded from span dedup", i, len(blocks))
+                blocks = blocks[:BLOCK_LIMIT]
+            for bidx, btext in enumerate(blocks):
                 # mask to 63 bits: int64-representable (hash_bytes is u64)
                 bkeys.append(hash_bytes(btext.encode("utf-8"))
                              & ((1 << 63) - 1))
@@ -94,9 +106,13 @@ def remove_duplicate_spans(ds, *, window: int = 20,
         return out.append_column(
             "part", pa.array(_hash_part(k, num_partitions), pa.int64()))
 
+    # materialize: count + the collect/union below would otherwise each
+    # re-execute the whole explode+shuffle lineage (same guard as
+    # dedup.dedup_keep_canonical's drop set).
     drops_ds = (ds.map_batches(explode_keys, batch_format="pyarrow")
                 .groupby("part")
-                .map_groups(_dup_drops_block, batch_format="pyarrow"))
+                .map_groups(_dup_drops_block, batch_format="pyarrow")
+                .materialize())
 
     n_drop = drops_ds.count()
     if n_drop > broadcast_limit:
@@ -128,13 +144,16 @@ def _rebuild_batch(batch: pa.Table, drop_packed: np.ndarray,
     new_texts, n_blocks, n_dropped = [], [], []
     for i, t in zip(ids, texts):
         blocks = _blocks_of(t, window)
-        if blocks and len(drop_packed):
-            packed = i * BLOCK_LIMIT + np.arange(len(blocks), dtype=np.int64)
+        # mirror explode_keys' truncation: blocks past BLOCK_LIMIT never
+        # got keys, so they are never drop candidates (and their packed
+        # ids would alias into the next doc's range).
+        nb = min(len(blocks), BLOCK_LIMIT)
+        hit = np.zeros(len(blocks), dtype=bool)
+        if nb and len(drop_packed):
+            packed = i * BLOCK_LIMIT + np.arange(nb, dtype=np.int64)
             pos = np.minimum(np.searchsorted(drop_packed, packed),
                              len(drop_packed) - 1)
-            hit = drop_packed[pos] == packed
-        else:
-            hit = np.zeros(len(blocks), dtype=bool)
+            hit[:nb] = drop_packed[pos] == packed
         kept = [b for b, h in zip(blocks, hit) if not h]
         new_texts.append(" ".join(kept))
         n_blocks.append(len(blocks))

@@ -161,7 +161,9 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
             with open(marker) as f:
                 content = f.read()
             stored = json.loads(content) if content.startswith("{") else None
-            if stored is not None and stored != params:
+            # `stored is None` (legacy/unknown marker) must ALSO refuse:
+            # those are exactly the checkpoints whose params are unknown.
+            if stored != params:
                 raise ValueError(
                     f"clean_corpus checkpoint {checkpoint_dir} was built "
                     f"with params {stored}, current call uses {params}; "

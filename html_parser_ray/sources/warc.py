@@ -112,6 +112,9 @@ def _split_records(data: bytes):
                 length = int(v.strip())
         if length is None:
             raise ValueError("record without Content-Length")
+        if length < 0:
+            # a negative length would move `pos` backwards — loop forever
+            raise ValueError("negative Content-Length")
         block_start = hdr_end + 4
         if block_start + length > n:
             raise ValueError("truncated WARC block")
@@ -123,9 +126,21 @@ def parse_warc(data: bytes) -> list[dict]:
     """bytes of one WARC file (plain or gzip-membered) → list of
     {url, warc_date, warc_type, payload: bytes, status, error}."""
     chunks = (_gunzip_members(data) if data[:2] == _GZ_MAGIC
-              else [data])
+              else iter([data]))
     rows: list[dict] = []
-    for chunk in chunks:
+    while True:
+        # advance the member generator inside the quarantine: a corrupt
+        # gzip member (zlib.error) must yield an error row, not kill the
+        # whole read task for the file.
+        try:
+            chunk = next(chunks)
+        except StopIteration:
+            break
+        except zlib.error as exc:
+            rows.append({"url": "", "warc_date": "", "warc_type": "",
+                         "payload": b"", "status": "error",
+                         "error": f"gzip: {exc}"})
+            break
         try:
             for headers, block in _split_records(chunk):
                 row = {"url": "", "warc_date": "", "warc_type": "",

@@ -355,3 +355,24 @@ def test_top_terms_empty_doc(ray_session):
     assert rows[1]["top_term"] == "x" and rows[1]["score"] == 6000
     assert rows[2]["top_term"] == "common" and rows[2]["df"] == 2
     assert rows[3]["top_term"] == "" and rows[3]["score"] == 0
+
+
+def test_redact_ip_ascii_boundary_matches_re2():
+    # r3 review fix: \b must be ASCII (re.ASCII) to match DuckDB RE2 —
+    # a Unicode letter adjacent to the quad is NOT a word char in RE2,
+    # so the IP still redacts on both engines.
+    from html_parser_ray.functions import redact as rd
+    out, _, ni, _ = rd.redact("see χ10.0.0.1 end")
+    assert out == "see χ[IP] end" and ni == 1
+    out2, _, ni2, _ = rd.redact("é8.8.8.8")
+    assert out2 == "é[IP]" and ni2 == 1
+
+
+def test_spandedup_pack_guard():
+    # r3 review fix: block_idx past the packing limit raises a real
+    # error (not an assert stripped by -O) — callers truncate instead.
+    import pytest as _pytest
+    from html_parser_ray.functions import spandedup as sd
+    assert sd._pack(3, 5) == 3 * sd.BLOCK_LIMIT + 5
+    with _pytest.raises(ValueError):
+        sd._pack(0, sd.BLOCK_LIMIT)

@@ -775,6 +775,13 @@ def test_clean_corpus_checkpoint_param_mismatch_raises(ray_session,
     assert kept == [1]
     with _pytest.raises(ValueError, match="params"):
         clean_corpus(ds, min_ws_tokens=5, checkpoint_dir=ckpt)
+    # legacy marker (pre-r3 "ok" content) has UNKNOWN params — it must
+    # refuse reuse too, not fall through silently
+    import os
+    with open(os.path.join(ckpt, "_DONE"), "w") as f:
+        f.write("ok")
+    with _pytest.raises(ValueError, match="params"):
+        clean_corpus(ds, min_ws_tokens=20, checkpoint_dir=ckpt)
 
 
 def test_fused_extract_matches_separate_stages(ray_session):

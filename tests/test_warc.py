@@ -77,3 +77,32 @@ def test_read_warc_dataset(ray_session, tmp_path):
     assert by_url["doc://20"]["payload"] == b"text 20"
     assert by_url["doc://20"]["warc_file"].endswith("b.warc.gz")
     assert all(r["status"] == "ok" for r in rows)
+
+
+def test_negative_content_length_quarantined():
+    # r3 review fix: a negative Content-Length must not move the cursor
+    # backwards (infinite loop) — it quarantines the file tail instead.
+    import re
+    rec = make_warc_record("http://g", DATE, b"body")
+    bad = re.sub(rb"Content-Length: (\d+)\r\n\r\n",
+                 rb"Content-Length: -\1\r\n\r\n", rec, count=1)
+    assert bad != rec
+    rows = parse_warc(bad)
+    assert rows[0]["status"] == "error"
+    assert "negative" in rows[0]["error"]
+
+
+def test_corrupt_gzip_member_quarantined():
+    # r3 review fix: zlib.error from a torn/corrupt gzip member must
+    # yield an error row, not escape and kill the read task.
+    recs = [("http://h/1", DATE, b"good body")]
+    data = make_warc(recs, gzip_members=True) + b"GARBAGE-NOT-GZIP"
+    rows = parse_warc(data)
+    assert rows[0]["status"] == "ok"
+    assert rows[0]["payload"] == b"good body"
+    assert rows[-1]["status"] == "error"
+    assert "gzip" in rows[-1]["error"]
+
+    # entirely-corrupt gzip stream (magic bytes then junk)
+    rows2 = parse_warc(b"\x1f\x8bjunkjunkjunk")
+    assert len(rows2) == 1 and rows2[0]["status"] == "error"
