@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-36 queries cover the engine surface per SURVEY.md §2.11: the HTML
+48 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -11,9 +11,11 @@ rollups, derived outputs (outline / serialize / visible-token stream /
 chunks / patch planning), dedup family (exact / MinHash-LSH / SimHash /
 embedding-cosine / connected-components keep-canonical), similarity
 search (brute-force + trained-IVF top-k), text analysis (tokens,
-fingerprints, language-ID, quality), deterministic sampling, session +
-tumbling windows, multimodal feature stages, and the generic columnar
-path. All 36 have value-checked DuckDB oracles (since r3 the simhash
+fingerprints, language-ID, quality), the link-graph layer (DOM href
+extraction / host edges / integer-exact PageRank), deterministic
+sampling, session + tumbling windows, multimodal feature stages, and the
+generic columnar path. All 48 have value-checked DuckDB oracles (since
+r3 the simhash
 queries too: their token hash is md5-based — md5_number_lower in
 DuckDB — so the per-bit majority is SQL-expressible end to end).
 Column names match the SQL aliases exactly (the driver sorts columns by
@@ -251,6 +253,63 @@ def q_host_rollup(sf_dir: str):
     from html_parser_ray.functions.urls import host_rollup
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return host_rollup(ds.map_batches(_url_wrap, batch_format="pyarrow"))
+
+
+def _doc_count(sf_dir: str) -> int:
+    import os
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def _wrap_links_batch(batch: pa.Table, n: int) -> pa.Table:
+    """documents rows → pages whose HTML plants a deterministic link plan
+    (one href per resolution form: absolute / scheme-relative /
+    root-relative / path-relative), targets derived from doc_id
+    arithmetic so the SQL oracle reconstructs the exact link set."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    urls, htmls = [], []
+    for i, t in zip(ids, texts):
+        t1 = (i * 31) % n
+        t2 = (i * 31 + 17) % n
+        t3 = (i * 7) % n
+        t4 = (i * 13 + 5) % n
+        urls.append(f"http://h{i % 50}.example.com/d/{i}")
+        htmls.append((
+            f"<html><head><meta charset='utf-8'></head><body>"
+            f"<nav><a href='http://h{t1 % 50}.example.com/d/{t1}'>a</a> "
+            f"<a href='//h{t2 % 50}.example.com/d/{t2}'>b</a></nav>"
+            f"<p>{_escape(t)}</p>"
+            f"<footer><a href='/d/{t3}'>c</a> "
+            f"<a href='{t4}'>d</a></footer>"
+            f"</body></html>").encode("utf-8"))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+    })
+
+
+def _link_corpus(sf_dir: str):
+    from html_parser_ray.functions.linkgraph import extract_links
+    n = _doc_count(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    wrapped = ds.map_batches(lambda b: _wrap_links_batch(b, n),
+                             batch_format="pyarrow")
+    return extract_links(wrapped)
+
+
+def q_link_graph(sf_dir: str):
+    """DOM-based <a href> extraction + resolution over the wrapped corpus:
+    (src_url, href, dst_url), 4 links per doc covering every href form."""
+    return _link_corpus(sf_dir)
+
+
+def q_host_pagerank(sf_dir: str):
+    """Full link-graph pipeline: extract links → host edge weights →
+    3 integer-exact PageRank iterations → (host, rank)."""
+    from html_parser_ray.functions.linkgraph import host_edges, pagerank
+    return pagerank(host_edges(_link_corpus(sf_dir)), iters=3)
 
 
 def _warc_corpus(sf_dir: str) -> str:
@@ -969,6 +1028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
         "warc_extract": q_warc_extract,
         "dedup_spans": q_dedup_spans,
         "heavy_hitters": q_heavy_hitters,
@@ -1004,6 +1065,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": q_top_users_by_value,
         "pricing_summary": q_pricing_summary,
     }
+
+
+# link-plan CTE shared by the link_graph and host_pagerank oracles:
+# mirrors _wrap_links_batch's doc_id arithmetic exactly
+_LINK_PLAN_SQL = (
+    "nn AS (SELECT count(*) AS n FROM documents), "
+    "d AS (SELECT doc_id, "
+    "'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/d/' || "
+    "CAST(doc_id AS VARCHAR) AS src_url, "
+    "'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' "
+    "AS origin, "
+    "'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS src_host, "
+    "(doc_id * 31) % (SELECT n FROM nn) AS t1, "
+    "(doc_id * 31 + 17) % (SELECT n FROM nn) AS t2, "
+    "(doc_id * 7) % (SELECT n FROM nn) AS t3, "
+    "(doc_id * 13 + 5) % (SELECT n FROM nn) AS t4 FROM documents)"
+)
+
+
+def _link_graph_sql() -> str:
+    def dst(t: str) -> str:
+        return ("'http://h' || CAST(" + t + " % 50 AS VARCHAR) || "
+                "'.example.com/d/' || CAST(" + t + " AS VARCHAR)")
+    return (
+        "WITH " + _LINK_PLAN_SQL + " "
+        f"SELECT src_url, {dst('t1')} AS href, {dst('t1')} AS dst_url "
+        "FROM d UNION ALL "
+        "SELECT src_url, '//h' || CAST(t2 % 50 AS VARCHAR) || "
+        "'.example.com/d/' || CAST(t2 AS VARCHAR) AS href, "
+        f"{dst('t2')} AS dst_url FROM d UNION ALL "
+        "SELECT src_url, '/d/' || CAST(t3 AS VARCHAR) AS href, "
+        "origin || '/d/' || CAST(t3 AS VARCHAR) AS dst_url FROM d "
+        "UNION ALL "
+        "SELECT src_url, CAST(t4 AS VARCHAR) AS href, "
+        "origin || '/d/' || CAST(t4 AS VARCHAR) AS dst_url FROM d"
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled integer-exact PageRank over the planted host graph —
+    the same update rule as functions.linkgraph.pagerank (scale 10^12,
+    damping 85/100, dangling mass dropped)."""
+    scale = str(10**12)
+    host = "'h' || CAST({} % 50 AS VARCHAR) || '.example.com'"
+    sql = (
+        "WITH " + _LINK_PLAN_SQL + ", "
+        "links AS ("
+        f"SELECT src_host, {host.format('t1')} AS dst_host FROM d "
+        f"UNION ALL SELECT src_host, {host.format('t2')} FROM d "
+        "UNION ALL SELECT src_host, src_host FROM d "
+        "UNION ALL SELECT src_host, src_host FROM d), "
+        "edges AS (SELECT src_host, dst_host, "
+        "CAST(count(*) AS BIGINT) AS w FROM links GROUP BY 1, 2), "
+        "hosts AS (SELECT DISTINCT host FROM ("
+        "SELECT src_host AS host FROM edges "
+        "UNION ALL SELECT dst_host FROM edges)), "
+        "p AS (SELECT count(*) AS hn FROM hosts), "
+        "ow AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS ow "
+        "FROM edges GROUP BY 1), "
+        f"r0 AS (SELECT host, {scale} // (SELECT hn FROM p) AS rank "
+        "FROM hosts)"
+    )
+    base = f"((15 * ({scale} // (SELECT hn FROM p))) // 100)"
+    for k in range(1, iters + 1):
+        sql += (
+            f", c{k} AS (SELECT e.dst_host AS host, "
+            "sum((r.rank * e.w) // o.ow) AS s "
+            f"FROM edges e JOIN r{k - 1} r ON r.host = e.src_host "
+            "JOIN ow o ON o.src_host = e.src_host GROUP BY 1)"
+            f", r{k} AS (SELECT h.host, {base} + "
+            f"((85 * COALESCE(c{k}.s, 0)) // 100) AS rank "
+            f"FROM hosts h LEFT JOIN c{k} ON c{k}.host = h.host)"
+        )
+    return (sql + f" SELECT host, CAST(rank AS BIGINT) AS rank "
+            f"FROM r{iters}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1377,6 +1513,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        # link_graph / host_pagerank: the planted link plan is pure
+        # doc_id arithmetic (see _wrap_links_batch), so the oracle
+        # reconstructs the exact link set in SQL and the value check
+        # covers DOM extraction + href resolution (+ the PageRank
+        # iterations for host_pagerank, unrolled in exact int arithmetic)
+        "link_graph": _link_graph_sql(),
+        "host_pagerank": _pagerank_sql(3),
         # warc round-trip: writer and reader must agree byte-for-byte
         "warc_extract": "SELECT doc_id, text FROM documents",
         # dedup_spans: block keying in SQL is by the block TEXT itself

@@ -148,7 +148,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "extract_full", "pdf_extract", "serialize_roundtrip",
                  "image_features", "repetition_features", "pii_redact",
                  "host_rollup", "heavy_hitters", "quantiles", "top_terms",
-                 "dedup_spans", "warc_extract"]:
+                 "dedup_spans", "warc_extract", "link_graph",
+                 "host_pagerank"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)
