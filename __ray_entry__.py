@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-48 queries cover the engine surface per SURVEY.md §2.11: the HTML
+50 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -14,7 +14,7 @@ search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), the link-graph layer (DOM href
 extraction / host edges / integer-exact PageRank), deterministic
 sampling, session + tumbling windows, multimodal feature stages, and the
-generic columnar path. All 48 have value-checked DuckDB oracles (since
+generic columnar path. All 50 have value-checked DuckDB oracles (since
 r3 the simhash
 queries too: their token hash is md5-based — md5_number_lower in
 DuckDB — so the per-bit majority is SQL-expressible end to end).
@@ -310,6 +310,18 @@ def q_host_pagerank(sf_dir: str):
     3 integer-exact PageRank iterations → (host, rank)."""
     from html_parser_ray.functions.linkgraph import host_edges, pagerank
     return pagerank(host_edges(_link_corpus(sf_dir)), iters=3)
+
+
+def q_lm_score(sf_dir: str):
+    from html_parser_ray.functions.lmscore import lm_score
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_score(ds)
+
+
+def q_stratified_sample(sf_dir: str):
+    from html_parser_ray.functions.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", n_per_group=20)
 
 
 def _warc_corpus(sf_dir: str) -> str:
@@ -1030,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rollup": q_host_rollup,
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
+        "lm_score": q_lm_score,
+        "stratified_sample": q_stratified_sample,
         "warc_extract": q_warc_extract,
         "dedup_spans": q_dedup_spans,
         "heavy_hitters": q_heavy_hitters,
@@ -1520,6 +1534,36 @@ def oracle_sql() -> dict[str, str]:
         # iterations for host_pagerank, unrolled in exact int arithmetic)
         "link_graph": _link_graph_sql(),
         "host_pagerank": _pagerank_sql(3),
+        # lm_score: unigram surprisal in whole bits — ilog2(x) =
+        # length(bin(x)) - 1, exact integers end to end (no float log)
+        "lm_score": (
+            "WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(text), "
+            "'[ \\t\\n\\r\\f]+')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), "
+            "nt AS (SELECT length(bin(CAST(sum(cnt) AS BIGINT))) - 1 "
+            "AS logn FROM c), "
+            "s AS (SELECT t.doc_id, count(*) AS n_tokens, "
+            "sum((SELECT logn FROM nt) - (length(bin(c.cnt)) - 1)) "
+            "AS nll FROM t JOIN c USING (tok) GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(s.nll, 0) AS BIGINT) AS nll_bits, "
+            "CAST(COALESCE(CASE WHEN s.n_tokens > 0 THEN "
+            "(s.nll * 10000) // s.n_tokens ELSE 0 END, 0) AS BIGINT) "
+            "AS mean_bits_bp "
+            "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
+        # stratified_sample: md5_number_lower = the Ray side's
+        # _md5_low64_str (lower 8 md5 bytes, little-endian)
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20"
+        ),
         # warc round-trip: writer and reader must agree byte-for-byte
         "warc_extract": "SELECT doc_id, text FROM documents",
         # dedup_spans: block keying in SQL is by the block TEXT itself

@@ -1,0 +1,63 @@
+"""Group-stratified deterministic sampling: the balanced-subset step of
+training-data curation (equal per-language / per-domain quotas) with a
+hash-rank rule instead of randomness, so the sample is reproducible and
+SQL-oracle-checkable.
+
+Rule: within each group, rank rows by (md5_low64(id), id) ascending and
+keep the ``n_per_group`` smallest. md5_low64 is the lower 8 digest bytes
+little-endian — DuckDB's ``md5_number_lower`` — the same cross-engine
+hash the simhash operator standardized on.
+
+Scale shape: a per-batch PARTIAL top-n per group inside `map_batches`
+(each batch forwards at most n_per_group rows per group it contains —
+output bounded by groups-in-batch × n, independent of batch size), then
+one small `groupby(group).map_groups` final top-n. The per-group Python
+call is fine HERE because group cardinality is small (languages,
+domains); this operator is not for high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def _md5_low64_str(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+
+
+def _topn_per_group(batch: pa.Table, group_col: str, id_col: str,
+                    n: int) -> pa.Table:
+    """Keep the n smallest (rank, id) rows per group — vectorized:
+    one lexsort + segment mask, no per-group Python."""
+    if batch.num_rows == 0:
+        return batch
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    groups = np.array(batch.column(group_col).to_pylist(), dtype=object)
+    ranks = np.array([_md5_low64_str(str(i)) for i in ids],
+                     dtype=np.uint64)
+    order = np.lexsort((ids, ranks, groups))
+    g_sorted = groups[order]
+    new_seg = np.ones(len(order), dtype=bool)
+    new_seg[1:] = g_sorted[1:] != g_sorted[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_start = np.flatnonzero(new_seg)
+    pos_in_seg = np.arange(len(order)) - seg_start[seg_id]
+    keep = order[pos_in_seg < n]
+    keep.sort()                      # preserve input row order
+    return batch.take(pa.array(keep, pa.int64()))
+
+
+def stratified_sample(ds, *, group_col: str, id_col: str = "doc_id",
+                      n_per_group: int):
+    """Dataset[...] → the deterministic n-per-group sample (all input
+    columns pass through)."""
+    partial = ds.map_batches(
+        lambda b: _topn_per_group(b, group_col, id_col, n_per_group),
+        batch_format="pyarrow")
+    return partial.groupby(group_col).map_groups(
+        lambda g: _topn_per_group(g, group_col, id_col, n_per_group),
+        batch_format="pyarrow")

@@ -376,3 +376,79 @@ def test_spandedup_pack_guard():
     assert sd._pack(3, 5) == 3 * sd.BLOCK_LIMIT + 5
     with _pytest.raises(ValueError):
         sd._pack(0, sd.BLOCK_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+
+def test_lm_score_tiny_corpus(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import lm_score, _ilog2
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a b", "a c", ""], pa.string()),
+    })
+    got = {r["doc_id"]: r for r in
+           lm_score(ray.data.from_arrow(tbl)).take_all()}
+    # counts: a=3, b=1, c=1, N=5 → logN=2; bits(a)=2-1=1, bits(b|c)=2-0=2
+    assert _ilog2(5) == 2
+    assert got[1]["n_tokens"] == 3 and got[1]["nll_bits"] == 1 + 1 + 2
+    assert got[1]["mean_bits_bp"] == 4 * 10_000 // 3
+    assert got[2]["nll_bits"] == 1 + 2
+    assert got[3] == {"doc_id": 3, "n_tokens": 0, "nll_bits": 0,
+                      "mean_bits_bp": 0}
+
+
+def test_lm_score_min_count_saturates_rare(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import lm_score
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["x x x x rare", "x x x x"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    full = {r["doc_id"]: r["nll_bits"] for r in lm_score(ds).take_all()}
+    pruned = {r["doc_id"]: r["nll_bits"]
+              for r in lm_score(ds, min_count=2).take_all()}
+    # 'rare' (cnt=1) is pruned from the broadcast → falls back to cnt=1:
+    # identical score; common tokens unaffected
+    assert full == pruned
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+
+def test_stratified_sample_matches_bruteforce(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import (
+        _md5_low64_str, stratified_sample)
+    n = 200
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "lang": pa.array([f"l{i % 3}" for i in range(n)], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(7)   # force many batches
+    got = sorted((r["lang"], r["doc_id"]) for r in stratified_sample(
+        ds, group_col="lang", n_per_group=5).take_all())
+    want = []
+    for g in ("l0", "l1", "l2"):
+        members = [i for i in range(n) if f"l{i % 3}" == g]
+        members.sort(key=lambda i: (_md5_low64_str(str(i)), i))
+        want += [(g, i) for i in members[:5]]
+    assert got == sorted(want)
+    # deterministic across runs
+    again = sorted((r["lang"], r["doc_id"]) for r in stratified_sample(
+        ds, group_col="lang", n_per_group=5).take_all())
+    assert again == got
+
+
+def test_stratified_sample_small_groups_keep_all(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import stratified_sample
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["a", "a", "b"], pa.string()),
+    })
+    got = stratified_sample(ray.data.from_arrow(tbl), group_col="lang",
+                            n_per_group=10).take_all()
+    assert len(got) == 3
