@@ -192,6 +192,24 @@ def q_repetition_features(sf_dir: str):
     return ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+def q_decontam(sf_dir: str):
+    """GPT-3-style benchmark decontamination (Brown et al. 2020 App. C):
+    a deterministic 'benchmark' snippet set (every 97th doc's 13-token
+    window) is broadcast; each document reports how many of its 13-token
+    windows hit the set. Benchmark side = small broadcast, corpus side =
+    streaming O(tokens) probes — no shuffle."""
+    from html_parser_ray.functions.decontam import (benchmark_snippets,
+                                                    decontam_flags)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    snips = benchmark_snippets(ds, every=97, skip=2, n_tokens=13)
+    out = decontam_flags(ds, snips, n_tokens=13)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_hits": b.column("n_hits"),
+                            "contaminated": b.column("contaminated")}),
+        batch_format="pyarrow")
+
+
 def _pii_wrap(batch: pa.Table) -> pa.Table:
     """Deterministic PII planted per doc (doc_id%3 emails, an IPv4 on
     even ids, one phone) — the shared input of the pii_redact query and
@@ -1037,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "langid": q_langid,
         "repetition_features": q_repetition_features,
+        "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1411,6 +1430,26 @@ def oracle_sql() -> dict[str, str]:
         # repetition_features: Gopher repetition signals re-derived via
         # unnest + positional self-joins; tie-break for "top n-gram" is
         # ORDER BY cnt DESC, g ASC = Python's (max count, min string);
+        # decontam: same benchmark derivation (every 97th doc's tokens
+        # 3..15) and 13-token window probe, in SQL; explicit ASCII
+        # whitespace class on both sides
+        "decontam": (
+            "WITH toks AS (SELECT doc_id, string_split_regex("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)), "
+            "'[ \\t\\n\\r\\f]+') AS t FROM documents), "
+            "bench AS (SELECT DISTINCT array_to_string("
+            "list_slice(t, 3, 15), ' ') AS snippet FROM toks "
+            "WHERE doc_id % 97 = 0 AND len(t) >= 15), "
+            "wins AS (SELECT doc_id, array_to_string("
+            "list_slice(t, g.i, g.i + 12), ' ') AS win "
+            "FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+            "len(t) - 12)) AS i) g), "
+            "hits AS (SELECT w.doc_id, count(*) AS n FROM wins w "
+            "JOIN bench b ON w.win = b.snippet GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
+            "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"
+        ),
         # integer-bp arithmetic matches repetition_counts exactly
         "repetition_features": (
             "WITH c AS (SELECT doc_id, " + _NORM_SQL + " AS norm "

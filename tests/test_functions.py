@@ -452,3 +452,68 @@ def test_stratified_sample_small_groups_keep_all(ray_session):
     got = stratified_sample(ray.data.from_arrow(tbl), group_col="lang",
                             n_per_group=10).take_all()
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+def test_decontam_planted_cross_doc_hit(ray_session):
+    import ray
+    from html_parser_ray.functions.decontam import (benchmark_snippets,
+                                                    decontam_flags,
+                                                    drop_contaminated)
+    window = " ".join(f"w{i}" for i in range(13))
+    bench_doc = "pre1 pre2 " + window + " tail1 tail2"      # doc_id 0 (0%97==0)
+    leaked = "intro words here " + window + " more trailing text goes on"
+    clean = " ".join(f"c{i}" for i in range(30))
+    short = "too short"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 5, 6, 7], pa.int64()),
+        "text": pa.array([bench_doc, leaked, clean, short], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    snips = benchmark_snippets(ds, every=97, skip=2, n_tokens=13)
+    assert snips == [window]
+    flagged = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+               for r in decontam_flags(ds, snips).take_all()}
+    assert flagged[0] == (1, 1)          # benchmark doc self-hit
+    assert flagged[5] == (1, 1)          # planted leak detected
+    assert flagged[6] == (0, 0)
+    assert flagged[7] == (0, 0)
+    kept = sorted(r["doc_id"] for r in
+                  drop_contaminated(ds, snips).take_all())
+    assert kept == [6, 7]
+    # flag columns removed on the filtered path
+    cols = drop_contaminated(ds, snips).schema().names
+    assert "n_hits" not in cols and "contaminated" not in cols
+
+
+def test_decontam_counts_every_matching_window(ray_session):
+    import ray
+    from html_parser_ray.functions.decontam import decontam_flags
+    window = " ".join(f"w{i}" for i in range(13))
+    doubled = window + " gap " + window
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([doubled], pa.string())})
+    out = decontam_flags(ray.data.from_arrow(tbl), [window]).take_all()
+    assert out[0]["n_hits"] == 2
+
+
+def test_decontam_empty_benchmark_flags_nothing(ray_session):
+    import ray
+    from html_parser_ray.functions.decontam import decontam_flags
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b c", ""], pa.string())})
+    out = decontam_flags(ray.data.from_arrow(tbl), []).take_all()
+    assert all(r["n_hits"] == 0 and r["contaminated"] == 0 for r in out)
+
+
+def test_decontam_snippet_of_whitespace_classes():
+    from html_parser_ray.functions.decontam import snippet_of
+    # mixed ASCII whitespace separators collapse exactly like the
+    # oracle's string_split_regex('[ \t\n\r\f]+')
+    text = "a\tb\nc\rd\fe  f g h i j k l m n o p"
+    assert snippet_of(text, skip=2, n_tokens=13) == \
+        "c d e f g h i j k l m n o"
+    assert snippet_of("one two three", skip=2, n_tokens=13) is None
+    assert snippet_of("", skip=2, n_tokens=13) is None
