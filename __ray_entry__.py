@@ -210,6 +210,42 @@ def q_decontam(sf_dir: str):
         batch_format="pyarrow")
 
 
+_NFC_MARKS = ["é", "ö", "Å", "가"]
+
+
+def _nfc_wrap(batch: pa.Table) -> pa.Table:
+    """Deterministic decomposed-Unicode injection per doc (combining
+    marks / Hangul jamo chosen by doc_id%4) — the shared input of the
+    nfc_normalize query and its DuckDB oracle, which reconstructs the
+    same string via chr() arithmetic."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    wrapped = [f"{_NFC_MARKS[i % 4]} {t} {_NFC_MARKS[i % 4]}"
+               for i, t in zip(ids, texts)]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(wrapped, pa.string())})
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global-shuffle shard assignment for training output
+    (hash-keyed pseudo-shuffle; readers sort within shard by
+    shuffle_key). Stateless per-row hash — no shuffle in the pipeline
+    itself."""
+    from html_parser_ray.functions.sampling import shard_assign
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return shard_assign(ds, n_shards=64, salt="shard")
+
+
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonicalization over the corpus (mixed-normalization
+    web text -> one canonical form). Streaming stateless map with an
+    is_normalized fast path; parity vs DuckDB nfc_normalize."""
+    from html_parser_ray.functions.textstats import nfc_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(_nfc_wrap, batch_format="pyarrow")
+            .map_batches(nfc_batch, batch_format="pyarrow"))
+
+
 def _pii_wrap(batch: pa.Table) -> pa.Table:
     """Deterministic PII planted per doc (doc_id%3 emails, an IPv4 on
     even ids, one phone) — the shared input of the pii_redact query and
@@ -1056,6 +1092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "repetition_features": q_repetition_features,
         "decontam": q_decontam,
+        "nfc_normalize": q_nfc_normalize,
+        "shuffle_shards": q_shuffle_shards,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1449,6 +1487,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
             "CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"
+        ),
+        # nfc_normalize: identical decomposed-mark injection via chr()
+        # (769=U+0301, 776=U+0308, 778=U+030A, 4352/4449=Hangul jamo),
+        # then DuckDB's own Unicode NFC; length() counts codepoints =
+        # Python len()
+        "nfc_normalize": (
+            "WITH w AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN chr(101) || chr(769) "
+            "WHEN 1 THEN chr(111) || chr(776) "
+            "WHEN 2 THEN chr(65) || chr(778) "
+            "ELSE chr(4352) || chr(4449) END AS m, text FROM documents), "
+            "s AS (SELECT doc_id, m || ' ' || text || ' ' || m AS raw "
+            "FROM w) "
+            "SELECT doc_id, nfc_normalize(raw) AS text_nfc, "
+            "CAST(nfc_normalize(raw) <> raw AS BIGINT) AS changed, "
+            "CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc "
+            "FROM s"
+        ),
+        # shuffle_shards: md5_number_lower % 2^63 = the Ray side's
+        # masked md5_low64(f"{id}:shard")
+        "shuffle_shards": (
+            "SELECT doc_id, "
+            "CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':shard') "
+            "% 9223372036854775808 AS BIGINT) AS shuffle_key, "
+            "CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':shard') "
+            "% 9223372036854775808) % 64 AS BIGINT) AS shard "
+            "FROM documents"
         ),
         # integer-bp arithmetic matches repetition_counts exactly
         "repetition_features": (

@@ -61,3 +61,52 @@ def stratified_sample(ds, *, group_col: str, id_col: str = "doc_id",
     return partial.groupby(group_col).map_groups(
         lambda g: _topn_per_group(g, group_col, id_col, n_per_group),
         batch_format="pyarrow")
+
+
+def shard_assign_batch(batch: pa.Table, *, n_shards: int = 64,
+                       salt: str = "shard", id_col: str = "doc_id"
+                       ) -> pa.Table:
+    """Append (shuffle_key, shard) — the deterministic global-shuffle
+    assignment step of training-output writing.
+
+    Training consumers need the corpus in a reproducible pseudo-random
+    order decoupled from crawl/ingest order. Rule: shuffle_key =
+    md5_low64(f"{id}:{salt}") masked to 63 bits (int64-representable,
+    = DuckDB ``md5_number_lower(x) % 2^63``); shard = shuffle_key %
+    n_shards. Readers stream shards in shard order and sort WITHIN a
+    shard by shuffle_key — a bounded, mergeable sort — giving a total
+    order no stage ever has to materialize.
+
+    Embarrassingly parallel (stateless per-row hash, no shuffle); the
+    only data movement is the write-side partition-by-shard, which
+    write_parquet does per block without an all-to-all."""
+    ids = batch.column(id_col).to_pylist()
+    keys = np.array([_md5_low64_str(f"{i}:{salt}") for i in ids],
+                    dtype=np.uint64) & np.uint64((1 << 63) - 1)
+    shard = (keys % np.uint64(n_shards)).astype(np.int64)
+    batch = batch.append_column(
+        "shuffle_key", pa.array(keys.astype(np.int64), pa.int64()))
+    return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+
+def shard_assign(ds, *, n_shards: int = 64, salt: str = "shard",
+                 id_col: str = "doc_id"):
+    """Dataset → Dataset with (shuffle_key, shard) columns appended."""
+    return ds.map_batches(
+        lambda b: shard_assign_batch(b, n_shards=n_shards, salt=salt,
+                                     id_col=id_col),
+        batch_format="pyarrow")
+
+
+def write_training_shards(ds, out_dir: str, *, n_shards: int = 64,
+                          salt: str = "shard", id_col: str = "doc_id"):
+    """Write the corpus as shard-partitioned Parquet (one directory per
+    shard) in deterministic shuffle order.
+
+    Resumable-output shape: each shard directory is independently
+    complete, so a failed run reruns only missing shards; no single
+    giant file. Partitioning happens per block inside write_parquet —
+    no global shuffle."""
+    shard_assign(ds, n_shards=n_shards, salt=salt,
+                 id_col=id_col).write_parquet(
+        out_dir, partition_cols=["shard"])

@@ -517,3 +517,89 @@ def test_decontam_snippet_of_whitespace_classes():
         "c d e f g h i j k l m n o"
     assert snippet_of("one two three", skip=2, n_tokens=13) is None
     assert snippet_of("", skip=2, n_tokens=13) is None
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization
+
+def test_nfc_batch_composes_and_flags():
+    import unicodedata
+    from html_parser_ray.functions.textstats import nfc_batch
+    decomposed = "école"            # e + combining acute
+    jamo = "가"                  # Hangul jamo pair -> U+AC00
+    already = "plain ascii text"
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([decomposed, jamo, already], pa.string()),
+    })
+    out = nfc_batch(batch)
+    texts = out.column("text_nfc").to_pylist()
+    assert texts[0] == "école" and out.column("changed")[0].as_py() == 1
+    assert texts[1] == "가" and out.column("changed")[1].as_py() == 1
+    assert texts[2] is already or texts[2] == already   # fast path: unchanged
+    assert out.column("changed")[2].as_py() == 0
+    assert out.column("n_chars_nfc").to_pylist() == [5, 1, len(already)]
+    for t in texts:
+        assert unicodedata.is_normalized("NFC", t)
+
+
+def test_nfc_batch_fast_path_identity_object():
+    from html_parser_ray.functions.textstats import nfc_batch
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array(["already normal"], pa.string())})
+    out = nfc_batch(batch)
+    assert out.column("text_nfc").to_pylist() == ["already normal"]
+
+
+# ---------------------------------------------------------------------------
+# shuffle-shard assignment / training-shard writer
+
+def test_shard_assign_deterministic_and_uniform(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import shard_assign
+    n = 2000
+    tbl = pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    rows = shard_assign(ds, n_shards=16, salt="s1").take_all()
+    assert len(rows) == n
+    by_id = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in rows}
+    # deterministic across runs
+    again = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shard_assign(ds, n_shards=16, salt="s1").take_all()}
+    assert again == by_id
+    # different salt reshuffles
+    other = {r["doc_id"]: r["shuffle_key"]
+             for r in shard_assign(ds, n_shards=16, salt="s2").take_all()}
+    assert sum(other[i] != by_id[i][1] for i in range(n)) > n * 0.99
+    # roughly uniform occupancy (16 shards x 125 expected)
+    from collections import Counter
+    occ = Counter(s for s, _ in by_id.values())
+    assert len(occ) == 16 and max(occ.values()) < 2.0 * (n / 16)
+    # shard = key % n_shards, key fits int64
+    for i, (s, k) in by_id.items():
+        assert 0 <= k < 2 ** 63 and s == k % 16
+
+
+def test_write_training_shards_partitioned_resumable(ray_session, tmp_path):
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    from html_parser_ray.functions.sampling import write_training_shards
+    tbl = pa.table({"doc_id": pa.array(list(range(200)), pa.int64()),
+                    "text": pa.array([f"t{i}" for i in range(200)],
+                                     pa.string())})
+    out = str(tmp_path / "shards")
+    write_training_shards(ray.data.from_arrow(tbl), out, n_shards=8,
+                          salt="w")
+    d = pads.dataset(out, partitioning="hive")
+    got = d.to_table()
+    assert got.num_rows == 200
+    shards = sorted(set(int(s) for s in
+                        got.column("shard").to_pylist()))
+    assert shards == list(range(8))
+    # within-shard sort by shuffle_key yields a deterministic total order
+    import pandas as pd
+    df = got.to_pandas().astype({"shard": int})
+    order1 = df.sort_values(["shard", "shuffle_key"])["doc_id"].tolist()
+    assert order1 != sorted(order1)      # actually shuffled
+    assert sorted(order1) == list(range(200))
