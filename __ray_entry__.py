@@ -226,6 +226,15 @@ def _nfc_wrap(batch: pa.Table) -> pa.Table:
                      "text": pa.array(wrapped, pa.string())})
 
 
+def q_pack_spans(sf_dir: str):
+    """Sequence packing: per-doc token span in the concatenated training
+    stream (global exclusive prefix sum via a two-level distributed
+    scan; 512-token examples)."""
+    from html_parser_ray.functions.packing import pack_spans
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_spans(ds, example_len=512, range_size=64)
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global-shuffle shard assignment for training output
     (hash-keyed pseudo-shuffle; readers sort within shard by
@@ -584,6 +593,18 @@ def q_minhash_dedup(sf_dir: str):
     kept = dedup_keep_canonical(ds, pairs)
     return kept.map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_dup_clusters(sf_dir: str):
+    """Direct value-check of the connected-components labeling: MinHash
+    LSH pairs → large-star/small-star CC → (doc_id, component=min
+    reachable id) for every doc in the dup graph. The oracle recomputes
+    the same labels with a recursive-CTE transitive closure."""
+    from html_parser_ray.functions.dedup import (minhash_dedup_pairs,
+                                                 connected_components)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds)
+    return connected_components(pairs, num_partitions=8)
 
 
 def q_clean_corpus(sf_dir: str):
@@ -1094,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q_decontam,
         "nfc_normalize": q_nfc_normalize,
         "shuffle_shards": q_shuffle_shards,
+        "pack_spans": q_pack_spans,
+        "dup_clusters": q_dup_clusters,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1281,6 +1304,29 @@ def oracle_sql() -> dict[str, str]:
         # end-to-end dedup survivors: a doc is dropped iff some SMALLER
         # doc_id is suffix-related (chain members are pairwise related, so
         # direct relation == same component)
+        # dup_clusters: recursive-CTE transitive closure over the same
+        # suffix-relation edge set the LSH pair stage provably emits
+        # (minhash_neardup_pairs hash-matches it); component = min
+        # reachable id, exactly the CC contract
+        "dup_clusters": (
+            "WITH RECURSIVE e AS ("
+            "SELECT d.doc_id AS u, o.doc_id AS v FROM documents d "
+            "JOIN documents o ON d.doc_id <> o.doc_id AND ("
+            "(LENGTH(o.text) < LENGTH(d.text) "
+            " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
+            " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
+            "     '( dup)+')) "
+            "OR (LENGTH(d.text) < LENGTH(o.text) "
+            " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
+            " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
+            "     '( dup)+')))), "
+            "reach(u, v) AS ("
+            "SELECT u, v FROM e "
+            "UNION "
+            "SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v) "
+            "SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) "
+            "AS component FROM reach GROUP BY u"
+        ),
         "minhash_dedup": (
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents o WHERE o.doc_id < d.doc_id AND ("
@@ -1504,6 +1550,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(nfc_normalize(raw) <> raw AS BIGINT) AS changed, "
             "CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc "
             "FROM s"
+        ),
+        # pack_spans: window exclusive prefix sum over doc_id order =
+        # the Ray side's two-level distributed scan; token count rule
+        # identical to token_counts
+        "pack_spans": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n "
+            "FROM documents), "
+            "o AS (SELECT doc_id, n, COALESCE(SUM(n) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS off FROM t) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(off AS BIGINT) AS tok_start, "
+            "CAST(off // 512 AS BIGINT) AS example_first, "
+            "CAST((off + CASE WHEN n > 0 THEN n - 1 ELSE 0 END) // 512 "
+            "AS BIGINT) AS example_last "
+            "FROM o"
         ),
         # shuffle_shards: md5_number_lower % 2^63 = the Ray side's
         # masked md5_low64(f"{id}:shard")

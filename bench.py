@@ -150,7 +150,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "host_rollup", "heavy_hitters", "quantiles", "top_terms",
                  "dedup_spans", "warc_extract", "link_graph",
                  "host_pagerank", "lm_score", "stratified_sample",
-                 "decontam", "nfc_normalize", "shuffle_shards"]:
+                 "decontam", "nfc_normalize", "shuffle_shards",
+                 "pack_spans", "dup_clusters"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

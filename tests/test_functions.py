@@ -603,3 +603,52 @@ def test_write_training_shards_partitioned_resumable(ray_session, tmp_path):
     order1 = df.sort_values(["shard", "shuffle_key"])["doc_id"].tolist()
     assert order1 != sorted(order1)      # actually shuffled
     assert sorted(order1) == list(range(200))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum)
+
+def test_pack_spans_matches_bruteforce(ray_session):
+    import ray, random
+    from html_parser_ray.functions.packing import pack_spans
+    from html_parser_ray.functions.textstats import ws_token_count
+    rng = random.Random(11)
+    # sparse, shuffled id space with empty docs mixed in
+    ids = rng.sample(range(0, 5000), 300)
+    texts = []
+    for i in ids:
+        k = rng.randint(0, 9)
+        texts.append("" if k == 0 else " ".join(f"t{j}" for j in range(k)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    got = {r["doc_id"]: r for r in
+           pack_spans(ds, example_len=16, range_size=100).take_all()}
+    # brute force on the driver
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    off = 0
+    for j in order:
+        n = ws_token_count(texts[j])
+        r = got[ids[j]]
+        assert r["n_tokens"] == n
+        assert r["tok_start"] == off
+        assert r["example_first"] == off // 16
+        assert r["example_last"] == (off + max(n - 1, 0)) // 16
+        off += n
+    assert len(got) == 300
+
+
+def test_pack_spans_deterministic(ray_session):
+    import ray
+    from html_parser_ray.functions.packing import pack_spans
+    tbl = pa.table({"doc_id": pa.array([5, 1, 9], pa.int64()),
+                    "text": pa.array(["a b c", "x", "p q"], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    one = sorted(map(tuple, (r.values() for r in
+                             pack_spans(ds).take_all())))
+    two = sorted(map(tuple, (r.values() for r in
+                             pack_spans(ds).take_all())))
+    assert one == two
+    by_id = {r["doc_id"]: r["tok_start"]
+             for r in pack_spans(ds).take_all()}
+    assert by_id == {1: 0, 5: 1, 9: 4}
