@@ -122,9 +122,20 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
                  jaccard_threshold: float = 0.8, num_perm: int = 64,
                  bands: int = 16, checkpoint_dir: str | None = None,
                  broadcast_limit: int = 20_000_000,
-                 num_partitions: int = 4_096):
+                 num_partitions: int = 4_096,
+                 decontam_snippets: list[str] | None = None,
+                 decontam_n_tokens: int = 13):
     """documents → surviving rows after quality gate + exact dedup +
-    MinHash near-dedup (min doc_id per duplicate component wins).
+    MinHash near-dedup (min doc_id per duplicate component wins), with
+    optional benchmark decontamination applied LAST.
+
+    ``decontam_snippets``: when given, contaminated documents (any
+    ``decontam_n_tokens``-token window matching a snippet) are dropped
+    AFTER dedup — the standard ordering, because benchmark sets change
+    more often than the corpus (re-running decontamination must not
+    re-run dedup or shift which duplicate is canonical). The snippet set
+    is a small broadcast and the check is another per-row pure filter,
+    so the payload still moves exactly once.
 
     The quality decision is per-row pure, so it is applied INLINE in the
     final filter pass (recomputed from the text that pass already touches)
@@ -195,6 +206,11 @@ def clean_corpus(ds, *, min_ws_tokens: int = 5, min_alpha_bp: int = 5000,
     gated = ds.map_batches(quality_gate, batch_format="pyarrow")
     # CC pairs are built from q_ok docs only, so cc_drop ⊆ the gated rows:
     # gate-then-drop reproduces the sequential filter→dedup semantics
-    return _apply_drop(gated, cc_drop, id_col="doc_id",
+    kept = _apply_drop(gated, cc_drop, id_col="doc_id",
                        broadcast_limit=broadcast_limit,
                        num_partitions=num_partitions)
+    if decontam_snippets:
+        from ..functions.decontam import drop_contaminated
+        kept = drop_contaminated(kept, decontam_snippets,
+                                 n_tokens=decontam_n_tokens)
+    return kept

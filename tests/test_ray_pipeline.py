@@ -565,6 +565,32 @@ def test_clean_corpus_pipeline(ray_session):
     assert all(r["text"] == docs[r["doc_id"]] for r in rows)
 
 
+def test_clean_corpus_with_decontamination(ray_session):
+    import ray
+    from html_parser_ray.pipelines.clean import clean_corpus
+    long = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    other = ("uniform victor whiskey xray yankee zulu one two three four "
+             "five six seven eight nine ten eleven twelve thirteen "
+             "fourteen")
+    docs = {1: long, 2: long + " dup", 4: other}
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    # snippet = the first 13 tokens of doc 1 -> doc 1 is contaminated;
+    # decontam runs AFTER dedup, so doc 2 (non-canonical dup) stays
+    # dropped rather than resurrected
+    snippet = " ".join(long.split()[:13])
+    kept = clean_corpus(ray.data.from_arrow(tbl), min_ws_tokens=20,
+                        decontam_snippets=[snippet])
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [4]
+    # no snippets -> unchanged behavior
+    kept2 = clean_corpus(ray.data.from_arrow(tbl), min_ws_tokens=20)
+    assert sorted(r["doc_id"] for r in kept2.take_all()) == [1, 4]
+
+
 def test_hash_join_and_broadcast_lookup(ray_session):
     import ray
     from html_parser_ray.functions.joins import broadcast_lookup, hash_join
