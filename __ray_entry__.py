@@ -95,6 +95,22 @@ def _extracted_docs(sf_dir: str):
 
 # SQL expression equivalent to the visibleText output of the wrap above
 _NORM_SQL = "trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+
+# shared unigram-LM CTE chain (lm_score / lm_filter): corpus token
+# counts -> whole-bit surprisal per doc; ends WITHOUT a separator so
+# callers append either " SELECT ..." or ", more_ctes ..."
+_LM_CTE = (
+    "WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(text), "
+    "'[ \\t\\n\\r\\f]+')) AS tok FROM documents) "
+    "WHERE tok <> ''), "
+    "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), "
+    "nt AS (SELECT length(bin(CAST(sum(cnt) AS BIGINT))) - 1 "
+    "AS logn FROM c), "
+    "s AS (SELECT t.doc_id, count(*) AS n_tokens, "
+    "sum((SELECT logn FROM nt) - (length(bin(c.cnt)) - 1)) "
+    "AS nll FROM t JOIN c USING (tok) GROUP BY 1)"
+)
 _TEXT_OUT_SQL = (
     "CASE WHEN " + _NORM_SQL + " = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
     "ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
@@ -365,7 +381,17 @@ def _link_corpus(sf_dir: str):
 def q_link_graph(sf_dir: str):
     """DOM-based <a href> extraction + resolution over the wrapped corpus:
     (src_url, href, dst_url), 4 links per doc covering every href form."""
-    return _link_corpus(sf_dir)
+    return _link_corpus(sf_dir).map_batches(
+        lambda b: b.select(["src_url", "href", "dst_url"]),
+        batch_format="pyarrow")
+
+
+def q_anchor_rollup(sf_dir: str):
+    """Anchor-text aggregation: (dst_host, anchor, n_links) — in-link
+    anchor term frequency per target host (partial combine, only
+    host/anchor/count rows shuffle)."""
+    from html_parser_ray.functions.linkgraph import anchor_rollup
+    return anchor_rollup(_link_corpus(sf_dir))
 
 
 def q_host_pagerank(sf_dir: str):
@@ -379,6 +405,37 @@ def q_lm_score(sf_dir: str):
     from html_parser_ray.functions.lmscore import lm_score
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return lm_score(ds)
+
+
+def q_grouped_topk(sf_dir: str):
+    """Per-group curation top-k: the 5 largest documents per language
+    (value desc, id asc tie rule), via bounded per-batch partial top-k
+    then a small per-group final."""
+    from html_parser_ray.functions.topk import grouped_topk
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(ds, group_col="lang", value_col="n_chars", k=5)
+
+
+def q_lm_filter(sf_dir: str):
+    """Percentile-threshold quality filter: keep documents whose unigram
+    LM surprisal is at or below the corpus median (CCNet-style 'head'
+    selection, Wenzek et al. 2020). Two streaming passes — pass 1
+    derives the threshold from the exact mean_bits_bp histogram
+    (cardinality-bounded), pass 2 recomputes scores and filters; the
+    corpus is never materialized."""
+    from html_parser_ray.functions.lmscore import lm_score
+    from html_parser_ray.functions.sketches import exact_quantiles
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = exact_quantiles(lm_score(ds), "mean_bits_bp",
+                          [5000]).column("value")[0].as_py()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vals = batch.column("mean_bits_bp").to_numpy(zero_copy_only=False)
+        out = batch.filter(pa.array(vals <= thr))
+        return pa.table({"doc_id": out.column("doc_id"),
+                         "mean_bits_bp": out.column("mean_bits_bp")})
+
+    return lm_score(ds).map_batches(keep, batch_format="pyarrow")
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1117,6 +1174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": q_shuffle_shards,
         "pack_spans": q_pack_spans,
         "dup_clusters": q_dup_clusters,
+        "grouped_topk": q_grouped_topk,
+        "lm_filter": q_lm_filter,
+        "anchor_rollup": q_anchor_rollup,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1176,6 +1236,22 @@ _LINK_PLAN_SQL = (
     "(doc_id * 7) % (SELECT n FROM nn) AS t3, "
     "(doc_id * 13 + 5) % (SELECT n FROM nn) AS t4 FROM documents)"
 )
+
+
+def _anchor_rollup_sql() -> str:
+    """Planted anchors per href form: t1→'a', t2→'b', t3/t4 are
+    same-host links with anchors 'c'/'d' (see _wrap_links_batch)."""
+    host = "'h' || CAST({} % 50 AS VARCHAR) || '.example.com'"
+    return (
+        "WITH " + _LINK_PLAN_SQL + ", "
+        "l AS ("
+        f"SELECT {host.format('t1')} AS dst_host, 'a' AS anchor FROM d "
+        f"UNION ALL SELECT {host.format('t2')}, 'b' FROM d "
+        "UNION ALL SELECT src_host, 'c' FROM d "
+        "UNION ALL SELECT src_host, 'd' FROM d) "
+        "SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links "
+        "FROM l GROUP BY 1, 2"
+    )
 
 
 def _link_graph_sql() -> str:
@@ -1700,27 +1776,44 @@ def oracle_sql() -> dict[str, str]:
         # covers DOM extraction + href resolution (+ the PageRank
         # iterations for host_pagerank, unrolled in exact int arithmetic)
         "link_graph": _link_graph_sql(),
+        "anchor_rollup": _anchor_rollup_sql(),
         "host_pagerank": _pagerank_sql(3),
         # lm_score: unigram surprisal in whole bits — ilog2(x) =
         # length(bin(x)) - 1, exact integers end to end (no float log)
         "lm_score": (
-            "WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, "
-            "unnest(regexp_split_to_array(lower(text), "
-            "'[ \\t\\n\\r\\f]+')) AS tok FROM documents) "
-            "WHERE tok <> ''), "
-            "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), "
-            "nt AS (SELECT length(bin(CAST(sum(cnt) AS BIGINT))) - 1 "
-            "AS logn FROM c), "
-            "s AS (SELECT t.doc_id, count(*) AS n_tokens, "
-            "sum((SELECT logn FROM nt) - (length(bin(c.cnt)) - 1)) "
-            "AS nll FROM t JOIN c USING (tok) GROUP BY 1) "
-            "SELECT d.doc_id, "
+            _LM_CTE +
+            " SELECT d.doc_id, "
             "CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens, "
             "CAST(COALESCE(s.nll, 0) AS BIGINT) AS nll_bits, "
             "CAST(COALESCE(CASE WHEN s.n_tokens > 0 THEN "
             "(s.nll * 10000) // s.n_tokens ELSE 0 END, 0) AS BIGINT) "
             "AS mean_bits_bp "
             "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
+        # grouped_topk: row_number over (value desc, id asc) = the Ray
+        # side's pinned tie rule
+        "grouped_topk": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        # lm_filter: same LM CTE + the quantiles oracle's rank rule
+        # (max(1, ceil(q*n)) = quantile_disc) for the median threshold
+        "lm_filter": (
+            _LM_CTE +
+            ", m AS (SELECT d.doc_id, "
+            "CAST(COALESCE(CASE WHEN s.n_tokens > 0 THEN "
+            "(s.nll * 10000) // s.n_tokens ELSE 0 END, 0) AS BIGINT) "
+            "AS mean_bits_bp "
+            "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id), "
+            "r AS (SELECT mean_bits_bp, "
+            "row_number() OVER (ORDER BY mean_bits_bp) AS rn, "
+            "count(*) OVER () AS n FROM m), "
+            "th AS (SELECT mean_bits_bp AS thr FROM r "
+            "WHERE rn = GREATEST(1, (5000 * n + 9999) // 10000)) "
+            "SELECT doc_id, mean_bits_bp FROM m "
+            "WHERE mean_bits_bp <= (SELECT thr FROM th)"
         ),
         # stratified_sample: md5_number_lower = the Ray side's
         # _md5_low64_str (lower 8 md5 bytes, little-endian)

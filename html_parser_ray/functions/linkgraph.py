@@ -67,21 +67,40 @@ def resolve_href(base_url: str, href: str) -> str:
 
 
 class LinkExtractStage:
-    """(url, html) batch → exploded (src_url, href, dst_url) link rows."""
+    """(url, html) batch → exploded (src_url, href, dst_url, anchor)
+    link rows. ``anchor`` is the whitespace-normalized text content of
+    the ``<a>`` subtree (truncated to 200 chars) — the relevance signal
+    anchor-text aggregation feeds on."""
+
+    _ANCHOR_MAX = 200
 
     def __init__(self):
         # warm per-actor kernel state (entity trie, interned tag tables)
+        import re
         from ..htmlcore.api import parse_bytes
-        from ..htmlcore.dom import Element
+        from ..htmlcore.dom import Element, Text
         from ..htmlcore.extract import walk
         self._parse_bytes = parse_bytes
         self._walk = walk
         self._element = Element
+        self._text = Text
+        self._ws = re.compile(r"[ \t\n\r\f]+")
+
+    def _anchor_text(self, a_node) -> str:
+        parts: list[str] = []
+        stack = list(reversed(a_node.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, self._text):
+                parts.append(node.value)
+            elif isinstance(node, self._element):
+                stack.extend(reversed(node.children))
+        return self._ws.sub(" ", "".join(parts)).strip()[:self._ANCHOR_MAX]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
-        src_out, href_out, dst_out = [], [], []
+        src_out, href_out, dst_out, anchor_out = [], [], [], []
         for url, html in zip(urls, htmls):
             try:
                 tree = self._parse_bytes(html)
@@ -96,10 +115,12 @@ class LinkExtractStage:
                 src_out.append(url)
                 href_out.append(href)
                 dst_out.append(resolve_href(url, href))
+                anchor_out.append(self._anchor_text(node))
         return pa.table({
             "src_url": pa.array(src_out, pa.string()),
             "href": pa.array(href_out, pa.string()),
             "dst_url": pa.array(dst_out, pa.string()),
+            "anchor": pa.array(anchor_out, pa.string()),
         })
 
 
@@ -131,6 +152,36 @@ def host_edges(links_ds):
     return (links_ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["src_host", "dst_host"])
             .aggregate(Sum("weight", alias_name="weight")))
+
+
+def anchor_rollup(links_ds):
+    """Dataset[dst_url, anchor, ...] → Dataset[(dst_host, anchor,
+    n_links)] — anchor-term frequency per target host, the classic
+    relevance/description signal for a crawled page (anchor text of
+    in-links describes the TARGET).
+
+    Same partial-combine idiom as host_edges: per-batch dict combine so
+    only (host, anchor, count) rows shuffle — in-link anchor sets are
+    heavy-tailed, and the partial combine absorbs the hot keys'
+    within-batch mass before the groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dsts = batch.column("dst_url").to_pylist()
+        anchors = batch.column("anchor").to_pylist()
+        counts: dict[tuple[str, str], int] = {}
+        for d, a in zip(dsts, anchors):
+            key = (canonicalize_url(d)[1], a)
+            counts[key] = counts.get(key, 0) + 1
+        return pa.table({
+            "dst_host": pa.array([k[0] for k in counts], pa.string()),
+            "anchor": pa.array([k[1] for k in counts], pa.string()),
+            "n_links": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    return (links_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["dst_host", "anchor"])
+            .aggregate(Sum("n_links", alias_name="n_links")))
 
 
 def _node_base(n_nodes: int, scale: int) -> tuple[int, int]:

@@ -652,3 +652,42 @@ def test_pack_spans_deterministic(ray_session):
     by_id = {r["doc_id"]: r["tok_start"]
              for r in pack_spans(ds).take_all()}
     assert by_id == {1: 0, 5: 1, 9: 4}
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k
+
+def test_grouped_topk_matches_bruteforce(ray_session):
+    import ray, random
+    from html_parser_ray.functions.topk import grouped_topk
+    rng = random.Random(3)
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "g": pa.array([f"g{i % 7}" for i in range(n)], pa.string()),
+        "v": pa.array([rng.randint(0, 50) for _ in range(n)], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    got = sorted((r["g"], r["doc_id"]) for r in grouped_topk(
+        ds, group_col="g", value_col="v", k=6).take_all())
+    vals = tbl.column("v").to_pylist()
+    want = []
+    for g in {f"g{i}" for i in range(7)}:
+        members = [i for i in range(n) if f"g{i % 7}" == g]
+        members.sort(key=lambda i: (-vals[i], i))
+        want += [(g, i) for i in members[:6]]
+    assert got == sorted(want)
+
+
+def test_grouped_topk_ties_break_by_id(ray_session):
+    import ray
+    from html_parser_ray.functions.topk import grouped_topk
+    tbl = pa.table({
+        "doc_id": pa.array([9, 3, 5], pa.int64()),
+        "g": pa.array(["x", "x", "x"], pa.string()),
+        "v": pa.array([7, 7, 7], pa.int64()),
+    })
+    got = sorted(r["doc_id"] for r in grouped_topk(
+        ray.data.from_arrow(tbl), group_col="g", value_col="v",
+        k=2).take_all())
+    assert got == [3, 5]

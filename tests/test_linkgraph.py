@@ -147,3 +147,38 @@ def test_pagerank_overflow_headroom():
     w_max = (2**63 - 1) // SCALE
     assert w_max > 9_000_000
     assert np.int64(SCALE) * np.int64(w_max) > 0
+
+
+def test_anchor_text_extraction(ray_session):
+    import ray
+    from html_parser_ray.functions.linkgraph import extract_links
+    html = (b"<html><body>"
+            b"<a href='/x'>plain  text</a>"
+            b"<a href='/y'><b>nested <i>markup</i></b> tail</a>"
+            b"<a href='/z'></a>"
+            b"<a href='/w'>\n  spaced\tout  \n</a>"
+            b"</body></html>")
+    tbl = pa.table({"url": pa.array(["http://h.example.com/p"], pa.string()),
+                    "html": pa.array([html], pa.binary())})
+    rows = extract_links(ray.data.from_arrow(tbl), concurrency=1,
+                         batch_size=4).take_all()
+    by_href = {r["href"]: r["anchor"] for r in rows}
+    assert by_href["/x"] == "plain text"
+    assert by_href["/y"] == "nested markup tail"
+    assert by_href["/z"] == ""
+    assert by_href["/w"] == "spaced out"
+
+
+def test_anchor_rollup_counts(ray_session):
+    import ray
+    from html_parser_ray.functions.linkgraph import anchor_rollup
+    tbl = pa.table({
+        "dst_url": pa.array(["http://a.example.com/1",
+                             "http://a.example.com/2",
+                             "http://b.example.com/1"], pa.string()),
+        "anchor": pa.array(["home", "home", "docs"], pa.string()),
+    })
+    rows = sorted((r["dst_host"], r["anchor"], r["n_links"]) for r in
+                  anchor_rollup(ray.data.from_arrow(tbl)).take_all())
+    assert rows == [("a.example.com", "home", 2),
+                    ("b.example.com", "docs", 1)]
