@@ -251,6 +251,52 @@ def q_pack_spans(sf_dir: str):
     return pack_spans(ds, example_len=512, range_size=64)
 
 
+def _delta_wrap(batch: pa.Table, n: int) -> pa.Table:
+    """Deterministic exact-dup planting for the delta-dedup query, by
+    doc_id%10 band: band {0,1,2} repeats every n//2 ids (new-batch docs
+    collide with the EXISTING half), band {4,5} pairs consecutive ids
+    (within-new dups), everything else unique — both drop paths
+    exercised at every scale factor (n//2 is a multiple of 10 in the
+    test tables). SQL reconstructs the same text."""
+    ids = batch.column("doc_id").to_pylist()
+    h = n // 2
+    texts = []
+    for i in ids:
+        b = i % 10
+        if b < 3:
+            texts.append(f"x-{i % h}")
+        elif b in (4, 5):
+            texts.append(f"y-{i // 2}")
+        else:
+            texts.append(f"u-{i}")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def q_delta_dedup(sf_dir: str):
+    """Incremental-ingest dedup: the corpus's second half arrives as a
+    'new crawl batch' and is deduped against the first half (existing
+    corpus) and within itself — (text_hash) markers co-shuffle, payload
+    moves once."""
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    n = _doc_count(sf_dir)
+    h = n // 2
+    ds = (_read(sf_dir, "documents", columns=["doc_id"])
+          .map_batches(lambda b: _delta_wrap(b, n),
+                       batch_format="pyarrow"))
+
+    def split(batch: pa.Table, old: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < h if old else ids >= h))
+
+    existing = ds.map_batches(lambda b: split(b, True),
+                              batch_format="pyarrow")
+    new = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    return delta_exact_dedup(new, existing)
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global-shuffle shard assignment for training output
     (hash-keyed pseudo-shuffle; readers sort within shard by
@@ -1177,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": q_grouped_topk,
         "lm_filter": q_lm_filter,
         "anchor_rollup": q_anchor_rollup,
+        "delta_dedup": q_delta_dedup,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1643,6 +1690,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST((off + CASE WHEN n > 0 THEN n - 1 ELSE 0 END) // 512 "
             "AS BIGINT) AS example_last "
             "FROM o"
+        ),
+        # delta_dedup: same planted text, existing half = doc_id < n//2;
+        # keep new rows with no existing match and no smaller new sibling
+        "delta_dedup": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "w AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 10 < 3 THEN 'x-' || "
+            "CAST(doc_id % (SELECT n // 2 FROM nn) AS VARCHAR) "
+            "WHEN doc_id % 10 IN (4, 5) THEN 'y-' || "
+            "CAST(doc_id // 2 AS VARCHAR) "
+            "ELSE 'u-' || CAST(doc_id AS VARCHAR) END AS text "
+            "FROM documents) "
+            "SELECT w.doc_id, w.text FROM w, nn "
+            "WHERE w.doc_id >= nn.n // 2 "
+            "AND NOT EXISTS (SELECT 1 FROM w e, nn "
+            "WHERE e.doc_id < nn.n // 2 AND e.text = w.text) "
+            "AND NOT EXISTS (SELECT 1 FROM w x, nn "
+            "WHERE x.doc_id >= nn.n // 2 AND x.doc_id < w.doc_id "
+            "AND x.text = w.text)"
         ),
         # shuffle_shards: md5_number_lower % 2^63 = the Ray side's
         # masked md5_low64(f"{id}:shard")

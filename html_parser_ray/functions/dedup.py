@@ -798,3 +798,73 @@ def dedup_keep_canonical(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     return _apply_drop(docs_ds, drop_ds, id_col=id_col,
                        broadcast_limit=broadcast_limit,
                        num_partitions=num_partitions)
+
+
+def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
+                      broadcast_limit: int = 20_000_000,
+                      num_partitions: int = 4_096):
+    """Incremental-ingest dedup: keep rows of ``new_ds`` whose text is
+    (a) absent from the existing corpus and (b) the first occurrence
+    (min id) within the new batch — the continuous-crawl ingestion step
+    (every recrawl batch is mostly pages the corpus already has).
+
+    Scale shape: the EXISTING corpus streams once as (text_hash) marker
+    rows — 32-byte hex strings, never the payload — and co-shuffles with
+    the new batch's (text_hash, id) rows into one groupby with Min/Max
+    aggregates (no per-group Python). The id-set difference and the
+    final payload filter reuse ``_apply_drop``'s bounded-broadcast /
+    partitioned-anti-join machinery; the new payload moves at most once,
+    the existing payload never.
+    """
+    from ray.data.aggregate import Max, Min
+
+    SENTINEL = np.int64(1 << 62)
+
+    def new_marks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                pa.string()),
+            "nid": batch.column(id_col).cast(pa.int64()),
+            "old": pa.array(np.zeros(len(texts), dtype=np.int64)),
+        })
+
+    def old_marks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        return pa.table({
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                pa.string()),
+            "nid": pa.array(np.full(n, SENTINEL, dtype=np.int64)),
+            "old": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    marks = (new_ds.map_batches(new_marks, batch_format="pyarrow")
+             .union(existing_ds.map_batches(old_marks,
+                                            batch_format="pyarrow")))
+    agg = (marks.groupby("text_hash")
+           .aggregate(Min("nid", alias_name="min_new_id"),
+                      Max("old", alias_name="has_old")))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ids = batch.column("min_new_id").to_numpy(zero_copy_only=False)
+        has_old = batch.column("has_old").to_numpy(zero_copy_only=False)
+        keep = (has_old == 0) & (ids < SENTINEL)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    # compact id-only tables; materialized so _apply_drop's count() +
+    # iteration don't recompute the aggregate
+    keep_ids = agg.map_batches(survivors,
+                               batch_format="pyarrow").materialize()
+    new_ids = new_ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col)}),
+        batch_format="pyarrow")
+    # drop set = new ids \ survivor ids (both compact id-only datasets)
+    drop_ids = _apply_drop(new_ids, keep_ids, id_col=id_col,
+                           broadcast_limit=broadcast_limit,
+                           num_partitions=num_partitions).materialize()
+    return _apply_drop(new_ds, drop_ids, id_col=id_col,
+                       broadcast_limit=broadcast_limit,
+                       num_partitions=num_partitions)

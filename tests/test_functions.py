@@ -691,3 +691,57 @@ def test_grouped_topk_ties_break_by_id(ray_session):
         ray.data.from_arrow(tbl), group_col="g", value_col="v",
         k=2).take_all())
     assert got == [3, 5]
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) exact dedup
+
+def _delta_fixture():
+    existing = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["old one", "old two", "shared text"], pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array([
+            "shared text",          # exists in corpus -> drop
+            "fresh alpha",          # unique -> keep
+            "fresh beta",           # first of a new pair -> keep
+            "fresh beta",           # within-new dup -> drop
+            "old two",              # exists in corpus -> drop
+        ], pa.string()),
+    })
+    return existing, new
+
+
+def test_delta_exact_dedup_both_drop_paths(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    existing, new = _delta_fixture()
+    out = delta_exact_dedup(ray.data.from_arrow(new),
+                            ray.data.from_arrow(existing))
+    rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert rows == {11: "fresh alpha", 12: "fresh beta"}
+
+
+def test_delta_exact_dedup_forced_fallback(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    existing, new = _delta_fixture()
+    out = delta_exact_dedup(ray.data.from_arrow(new),
+                            ray.data.from_arrow(existing),
+                            broadcast_limit=1, num_partitions=4)
+    rows = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert rows == {11: "fresh alpha", 12: "fresh beta"}
+
+
+def test_delta_exact_dedup_empty_existing(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    _, new = _delta_fixture()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = delta_exact_dedup(ray.data.from_arrow(new),
+                            ray.data.from_arrow(empty))
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [10, 11, 12, 14]     # only the within-new dup drops
