@@ -297,6 +297,23 @@ def q_delta_dedup(sf_dir: str):
     return delta_exact_dedup(new, existing)
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-count registers over a planted 137-value
+    column — the mergeable approximate-count-distinct primitive.
+    Registers are exact integers (md5-derived), so they value-oracle;
+    the float estimate is library-side (hll_estimate, pytest-bounded)."""
+    from html_parser_ray.functions.sketches import hll_registers
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({"val": pa.array([f"v-{i % 137}" for i in ids],
+                                         pa.string())})
+
+    return hll_registers(ds.map_batches(plant, batch_format="pyarrow"),
+                         "val", p=6)
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global-shuffle shard assignment for training output
     (hash-keyed pseudo-shuffle; readers sort within shard by
@@ -1224,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_filter": q_lm_filter,
         "anchor_rollup": q_anchor_rollup,
         "delta_dedup": q_delta_dedup,
+        "hll_registers": q_hll_registers,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1709,6 +1727,22 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM w x, nn "
             "WHERE x.doc_id >= nn.n // 2 AND x.doc_id < w.doc_id "
             "AND x.text = w.text)"
+        ),
+        # hll_registers: same 63-bit md5 hash; p=6 -> 57 low bits;
+        # rank = first-1-bit position (1-based) = 58 - bitlength(low),
+        # via DuckDB length(bin()) = Python int.bit_length
+        "hll_registers": (
+            "WITH v AS (SELECT 'v-' || CAST(doc_id % 137 AS VARCHAR) "
+            "AS val FROM documents), "
+            "h AS (SELECT CAST(md5_number_lower(val) "
+            "% 9223372036854775808 AS BIGINT) AS h63 FROM v), "
+            "r AS (SELECT h63 // 144115188075855872 AS reg, "
+            "h63 % 144115188075855872 AS low FROM h), "
+            "k AS (SELECT reg, CASE WHEN low > 0 THEN "
+            "57 - (length(bin(CAST(low AS BIGINT))) - 1) "
+            "ELSE 58 END AS rank FROM r) "
+            "SELECT CAST(reg AS BIGINT) AS reg, "
+            "CAST(max(rank) AS BIGINT) AS max_rank FROM k GROUP BY reg"
         ),
         # shuffle_shards: md5_number_lower % 2^63 = the Ray side's
         # masked md5_low64(f"{id}:shard")

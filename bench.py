@@ -152,7 +152,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "host_pagerank", "lm_score", "stratified_sample",
                  "decontam", "nfc_normalize", "shuffle_shards",
                  "pack_spans", "dup_clusters", "grouped_topk",
-                 "lm_filter", "anchor_rollup", "delta_dedup"]:
+                 "lm_filter", "anchor_rollup", "delta_dedup",
+                 "hll_registers"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

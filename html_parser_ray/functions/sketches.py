@@ -140,3 +140,87 @@ def exact_quantiles(ds, col: str, q_bps: list[int]):
         out_v.append(int(values[idx]) if n else 0)
     return pa.table({"q_bp": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+
+def _hll_hash63(values: list[str]) -> np.ndarray:
+    """63-bit md5-derived hash (md5_number_lower % 2^63 — the repo's
+    standard cross-engine hash, int64-representable on both sides)."""
+    import hashlib
+    import struct
+    return np.array(
+        [struct.unpack("<Q", hashlib.md5(v.encode()).digest()[8:])[0]
+         & ((1 << 63) - 1) for v in values],
+        dtype=np.int64)
+
+
+def hll_registers(ds, col: str, p: int = 6):
+    """Dataset[..., col:string] → Dataset[(reg, max_rank)] — the 2^p
+    HyperLogLog registers (Flajolet et al. 2007) of the column's
+    distinct-value count, as a MERGEABLE integer aggregate.
+
+    This is the approximate-count-distinct primitive a 100-TB profile
+    needs (distinct urls / hosts / fingerprints without an exact
+    groupby): per batch only (reg, rank) pairs leave — at most 2^p rows
+    after the in-batch partial max — and the global combine is a plain
+    ``groupby(reg).max(rank)``, associative and idempotent, so register
+    tables from different corpus shards (or days) merge by the same
+    max. Registers are exact integers — bit-reproducible and
+    SQL-expressible (rank = (63-p) - ilog2(low bits) via length(bin())
+    in DuckDB) — the float estimation step is separate (hll_estimate).
+    """
+    from ray.data.aggregate import Max
+
+    low_bits = 63 - p
+    low_mask = (1 << low_bits) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        h = _hll_hash63(vals)
+        reg = (h >> low_bits).astype(np.int64)
+        low = h & low_mask
+        # rank = position of the first 1-bit in the low field from the
+        # MSB side, 1-based; all-zero low -> low_bits + 1
+        ilog2 = np.zeros(len(low), dtype=np.int64)
+        nz = low > 0
+        ilog2[nz] = np.floor(np.log2(low[nz])).astype(np.int64)
+        # exact-integer guard against float log2 edge error
+        ilog2[nz] += (low[nz] >> (ilog2[nz] + 1)) > 0
+        ilog2[nz] -= (low[nz] >> ilog2[nz]) == 0
+        rank = np.where(nz, low_bits - ilog2, low_bits + 1).astype(np.int64)
+        # in-batch partial max per register
+        order = np.lexsort((-rank, reg))
+        reg_s, rank_s = reg[order], rank[order]
+        first = np.ones(len(reg_s), dtype=bool)
+        first[1:] = reg_s[1:] != reg_s[:-1]
+        return pa.table({"reg": pa.array(reg_s[first], pa.int64()),
+                         "rank": pa.array(rank_s[first], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("reg").aggregate(Max("rank", alias_name="max_rank")))
+
+
+def hll_estimate(registers: pa.Table, p: int = 6) -> float:
+    """Standard HLL estimate with small/large-range corrections from a
+    (reg, max_rank) register table (absent registers count as rank 0).
+    Driver-side finish over ≤2^p rows."""
+    import math
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    idx = registers.column("reg").to_numpy(zero_copy_only=False)
+    val = registers.column("max_rank").to_numpy(zero_copy_only=False)
+    regs[idx] = val
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213)
+    raw = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)        # linear counting
+    return raw

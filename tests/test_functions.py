@@ -745,3 +745,54 @@ def test_delta_exact_dedup_empty_existing(ray_session):
                             ray.data.from_arrow(empty))
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [10, 11, 12, 14]     # only the within-new dup drops
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch
+
+def test_hll_estimate_error_bounds(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import hll_estimate, hll_registers
+    for true_n in (50, 500, 5000):
+        tbl = pa.table({"val": pa.array(
+            [f"item-{i % true_n}" for i in range(true_n * 3)], pa.string())})
+        regs = hll_registers(ray.data.from_arrow(tbl).repartition(4),
+                             "val", p=8)
+        parts = [b for b in regs.iter_batches(batch_format="pyarrow")]
+        est = hll_estimate(pa.concat_tables(parts), p=8)
+        # HLL stderr at p=8 is ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert abs(est - true_n) / true_n < 0.26, (true_n, est)
+
+
+def test_hll_registers_mergeable(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import hll_registers
+    vals = [f"u-{i}" for i in range(1000)]
+    half_a = pa.table({"val": pa.array(vals[:500], pa.string())})
+    half_b = pa.table({"val": pa.array(vals[500:], pa.string())})
+    whole = pa.table({"val": pa.array(vals, pa.string())})
+
+    def reg_map(t):
+        out = {}
+        for b in hll_registers(ray.data.from_arrow(t), "val",
+                               p=6).iter_batches(batch_format="pyarrow"):
+            for r, k in zip(b.column("reg").to_pylist(),
+                            b.column("max_rank").to_pylist()):
+                out[r] = max(out.get(r, 0), k)
+        return out
+
+    a, b, w = reg_map(half_a), reg_map(half_b), reg_map(whole)
+    merged = dict(a)
+    for r, k in b.items():
+        merged[r] = max(merged.get(r, 0), k)
+    assert merged == w
+
+
+def test_hll_rank_rule_matches_bit_length():
+    from html_parser_ray.functions.sketches import _hll_hash63
+    h = _hll_hash63([f"x{i}" for i in range(5000)])
+    low_bits = 57
+    for v in h:
+        low = int(v) & ((1 << low_bits) - 1)
+        want = low_bits - low.bit_length() + 1 if low else low_bits + 1
+        assert 1 <= want <= low_bits + 1
