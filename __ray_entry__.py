@@ -25,6 +25,7 @@ DuckDB's HUGEINT does not change the comparison dtype.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -297,6 +298,48 @@ def q_delta_dedup(sf_dir: str):
     return delta_exact_dedup(new, existing)
 
 
+_C4_WS = re.compile(r"[ \t\n\r\f]+")
+
+
+def _c4_wrap(batch: pa.Table) -> pa.Table:
+    """Deterministic multi-line page plant for the C4 cleaning query:
+    seven lines per doc exercising every rule (no terminal punct, short
+    line, javascript line, token-derived kept lines, lorem-ipsum page
+    drop on id%7, curly-brace page drop on id%11). SQL rebuilds the
+    same text via list_slice + chr(10)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        stripped = t.strip(" \t\n\r\f")
+        toks = _C4_WS.split(stripped) if stripped else []
+        t8 = " ".join(toks[0:8])
+        t8b = " ".join(toks[8:16])
+        lines = [
+            f"Intro header for doc {i}",
+            t8 + ".",
+            "Enable javascript to view this page.",
+            "Short one.",
+            t8b + " extra words here too?",
+            ("lorem ipsum dolor sit amet." if i % 7 == 0
+             else "Closing statement line number five."),
+            ("code sample { weird } line." if i % 11 == 0
+             else "Final polite farewell sentence now."),
+        ]
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+def q_c4_clean(sf_dir: str):
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2 rules,
+    deterministic variant) over planted multi-line pages — stateless
+    streaming pass, exact counters + cleaned text."""
+    from html_parser_ray.functions.c4clean import c4_clean
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return c4_clean(ds.map_batches(_c4_wrap, batch_format="pyarrow"))
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog distinct-count registers over a planted 137-value
     column — the mergeable approximate-count-distinct primitive.
@@ -388,6 +431,23 @@ def q_url_canonical(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["doc_id", "canonical_url", "host",
                             "registered_domain"]),
+        batch_format="pyarrow")
+
+
+def q_url_blocklist(sf_dir: str):
+    """UT1/RefinedWeb-style URL filtering over the planted messy URLs:
+    blocked domain (suffix match on canonical host) or blocked raw-URL
+    substring; pinned first-match reason."""
+    from html_parser_ray.functions.urls import url_blocklist_flags
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    flagged = url_blocklist_flags(
+        ds.map_batches(_url_wrap, batch_format="pyarrow"),
+        blocked_domains=["site3.co.uk", "site5.com"],
+        blocked_substrings=["/a/7/"])
+    return flagged.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "blocked": b.column("blocked"),
+                            "reason": b.column("reason")}),
         batch_format="pyarrow")
 
 
@@ -1242,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_rollup": q_anchor_rollup,
         "delta_dedup": q_delta_dedup,
         "hll_registers": q_hll_registers,
+        "c4_clean": q_c4_clean,
+        "url_blocklist": q_url_blocklist,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1727,6 +1789,74 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM w x, nn "
             "WHERE x.doc_id >= nn.n // 2 AND x.doc_id < w.doc_id "
             "AND x.text = w.text)"
+        ),
+        # c4_clean: identical seven-line plant rebuilt via list_slice +
+        # chr(10); line rule = terminal punct AND >=5 space words AND no
+        # 'javascript'; page rule = >=3 kept AND no lorem-ipsum/brace
+        "c4_clean": (
+            "WITH toks AS (SELECT doc_id, string_split_regex("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)), "
+            "'[ \\t\\n\\r\\f]+') AS t FROM documents), "
+            "w AS (SELECT doc_id, "
+            "'Intro header for doc ' || CAST(doc_id AS VARCHAR) "
+            "|| chr(10) || "
+            "array_to_string(list_slice(t, 1, 8), ' ') || '.' "
+            "|| chr(10) || "
+            "'Enable javascript to view this page.' || chr(10) || "
+            "'Short one.' || chr(10) || "
+            "array_to_string(list_slice(t, 9, 16), ' ') || "
+            "' extra words here too?' || chr(10) || "
+            "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' "
+            "ELSE 'Closing statement line number five.' END || chr(10) || "
+            "CASE WHEN doc_id % 11 = 0 THEN "
+            "'code sample { weird } line.' "
+            "ELSE 'Final polite farewell sentence now.' END AS text "
+            "FROM toks), "
+            "l AS (SELECT doc_id, text, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS i "
+            "FROM w), "
+            "k AS (SELECT doc_id, text, line, i, "
+            "(regexp_matches(line, '[.!?\"]$') "
+            "AND len(string_split_regex(trim(line, ' '), '[ ]+')) >= 5 "
+            "AND NOT contains(lower(line), 'javascript')) AS keep "
+            "FROM l), "
+            "agg AS (SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY i) "
+            "FILTER (keep), '') AS clean_text, "
+            "count(*) FILTER (keep) AS n_kept, count(*) AS n_total, "
+            "any_value(text) AS text FROM k GROUP BY doc_id) "
+            "SELECT doc_id, clean_text, "
+            "CAST(n_kept AS BIGINT) AS n_lines_kept, "
+            "CAST(n_total AS BIGINT) AS n_lines_total, "
+            "CAST((n_kept >= 3 "
+            "AND NOT contains(lower(text), 'lorem ipsum') "
+            "AND NOT contains(text, '{')) AS BIGINT) AS page_kept "
+            "FROM agg"
+        ),
+        # url_blocklist: same planted url/host plan as url_canonical;
+        # rule order pinned (sorted domains, then sorted substrings)
+        "url_blocklist": (
+            "WITH u AS (SELECT doc_id, "
+            "'HTTP://' || CASE WHEN doc_id % 5 = 0 THEN "
+            "'News.Site' || CAST(doc_id % 23 AS VARCHAR) || '.CO.UK' "
+            "ELSE 'WWW.Site' || CAST(doc_id % 23 AS VARCHAR) || '.COM' "
+            "END || ':80/a/' || CAST(doc_id AS VARCHAR) || '/../b/' || "
+            "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
+            "AS url, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'news.site' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk' "
+            "ELSE 'www.site' || CAST(doc_id % 23 AS VARCHAR) || '.com' "
+            "END AS host FROM documents), "
+            "r AS (SELECT doc_id, CASE "
+            "WHEN host = 'site3.co.uk' OR host LIKE '%.site3.co.uk' "
+            "THEN 'domain:site3.co.uk' "
+            "WHEN host = 'site5.com' OR host LIKE '%.site5.com' "
+            "THEN 'domain:site5.com' "
+            "WHEN contains(lower(url), '/a/7/') THEN 'substring:/a/7/' "
+            "ELSE '' END AS reason FROM u) "
+            "SELECT doc_id, CAST(reason <> '' AS BIGINT) AS blocked, "
+            "reason FROM r"
         ),
         # hll_registers: same 63-bit md5 hash; p=6 -> 57 low bits;
         # rank = first-1-bit position (1-based) = 58 - bitlength(low),

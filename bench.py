@@ -153,7 +153,7 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "decontam", "nfc_normalize", "shuffle_shards",
                  "pack_spans", "dup_clusters", "grouped_topk",
                  "lm_filter", "anchor_rollup", "delta_dedup",
-                 "hll_registers"]:
+                 "hll_registers", "c4_clean", "url_blocklist"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

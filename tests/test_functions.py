@@ -796,3 +796,87 @@ def test_hll_rank_rule_matches_bit_length():
         low = int(v) & ((1 << low_bits) - 1)
         want = low_bits - low.bit_length() + 1 if low else low_bits + 1
         assert 1 <= want <= low_bits + 1
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning
+
+def test_c4_line_rules():
+    from html_parser_ray.functions.c4clean import c4_clean_doc
+    text = "\n".join([
+        "No terminal punctuation here",
+        "This line has enough words right here.",
+        "Too short.",
+        "Please enable JavaScript to continue browsing now.",
+        'A quoted line with plenty of words inside it."',
+        "Another good line with many fine words!",
+    ])
+    clean, n_kept, n_total, page_kept = c4_clean_doc(text)
+    assert n_total == 6
+    assert clean.split("\n") == [
+        "This line has enough words right here.",
+        'A quoted line with plenty of words inside it."',
+        "Another good line with many fine words!",
+    ]
+    assert n_kept == 3 and page_kept == 1
+
+
+def test_c4_page_rules():
+    from html_parser_ray.functions.c4clean import c4_clean_doc
+    good = "\n".join(["One decent line with five words here."] * 3)
+    assert c4_clean_doc(good)[3] == 1
+    assert c4_clean_doc(good + "\nlorem IPSUM mixed case.")[3] == 0
+    assert c4_clean_doc(good + "\nvar x = { a: 1 };")[3] == 0
+    two = "\n".join(["One decent line with five words here."] * 2)
+    assert c4_clean_doc(two)[3] == 0          # fewer than 3 kept lines
+
+
+def test_c4_filter_dataset(ray_session):
+    import ray
+    from html_parser_ray.functions.c4clean import c4_filter
+    good = "\n".join(["A perfectly ordinary sentence with words."] * 3)
+    bad = good + "\nlorem ipsum dolor."
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([good, bad], pa.string())})
+    rows = c4_filter(ray.data.from_arrow(tbl)).take_all()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"] == good
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering
+
+def test_url_blocklist_rules(ray_session):
+    import ray
+    from html_parser_ray.functions.urls import url_blocklist_flags
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": pa.array([
+            "http://spam.example.com/x",        # exact-domain block
+            "http://sub.spam.example.com/y",    # subdomain block
+            "http://notspam.example.org/z",     # no match (no dot bound)
+            "http://ok.example.org/casino/1",   # substring block
+            "http://clean.example.org/fine",    # clean
+        ], pa.string()),
+    })
+    rows = {r["doc_id"]: (r["blocked"], r["reason"]) for r in
+            url_blocklist_flags(
+                ray.data.from_arrow(tbl),
+                blocked_domains=["spam.example.com"],
+                blocked_substrings=["casino"]).take_all()}
+    assert rows[1] == (1, "domain:spam.example.com")
+    assert rows[2] == (1, "domain:spam.example.com")
+    assert rows[3] == (0, "")
+    assert rows[4] == (1, "substring:casino")
+    assert rows[5] == (0, "")
+
+
+def test_url_blocklist_domain_beats_substring(ray_session):
+    import ray
+    from html_parser_ray.functions.urls import url_blocklist_flags
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "url": pa.array(["http://bad.com/casino"], pa.string())})
+    rows = url_blocklist_flags(
+        ray.data.from_arrow(tbl), blocked_domains=["bad.com"],
+        blocked_substrings=["casino"]).take_all()
+    assert rows[0]["reason"] == "domain:bad.com"
