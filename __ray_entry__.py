@@ -300,6 +300,44 @@ def q_delta_dedup(sf_dir: str):
 
 _C4_WS = re.compile(r"[ \t\n\r\f]+")
 
+# shared C4 CTE chain (c4_clean / curate_pipeline oracles): planted
+# seven-line pages -> per-line keep flags -> per-doc aggregates; ends
+# WITHOUT a separator so callers append " SELECT ..." or ", more ..."
+_C4_CTE = (
+    "WITH toks AS (SELECT doc_id, string_split_regex("
+    "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)), "
+    "'[ \\t\\n\\r\\f]+') AS t FROM documents), "
+    "w AS (SELECT doc_id, "
+    "'Intro header for doc ' || CAST(doc_id AS VARCHAR) "
+    "|| chr(10) || "
+    "array_to_string(list_slice(t, 1, 8), ' ') || '.' "
+    "|| chr(10) || "
+    "'Enable javascript to view this page.' || chr(10) || "
+    "'Short one.' || chr(10) || "
+    "array_to_string(list_slice(t, 9, 16), ' ') || "
+    "' extra words here too?' || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' "
+    "ELSE 'Closing statement line number five.' END || chr(10) || "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'code sample { weird } line.' "
+    "ELSE 'Final polite farewell sentence now.' END AS text "
+    "FROM toks), "
+    "l AS (SELECT doc_id, text, "
+    "unnest(string_split(text, chr(10))) AS line, "
+    "generate_subscripts(string_split(text, chr(10)), 1) AS i "
+    "FROM w), "
+    "k AS (SELECT doc_id, text, line, i, "
+    "(regexp_matches(line, '[.!?\"]$') "
+    "AND len(string_split_regex(trim(line, ' '), '[ ]+')) >= 5 "
+    "AND NOT contains(lower(line), 'javascript')) AS keep "
+    "FROM l), "
+    "agg AS (SELECT doc_id, "
+    "COALESCE(string_agg(line, chr(10) ORDER BY i) "
+    "FILTER (keep), '') AS clean_text, "
+    "count(*) FILTER (keep) AS n_kept, count(*) AS n_total, "
+    "any_value(text) AS text FROM k GROUP BY doc_id)"
+)
+
 
 def _c4_wrap(batch: pa.Table) -> pa.Table:
     """Deterministic multi-line page plant for the C4 cleaning query:
@@ -338,6 +376,31 @@ def q_c4_clean(sf_dir: str):
     from html_parser_ray.functions.c4clean import c4_clean
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return c4_clean(ds.map_batches(_c4_wrap, batch_format="pyarrow"))
+
+
+def q_curate_pipeline(sf_dir: str):
+    """End-to-end curation composition: C4 line/page cleaning → page
+    filter → exact dedup (first keeper by id; the planted ' dup' chains
+    share their first 16 tokens, so their cleaned pages collapse) →
+    deterministic shuffle-shard assignment. Every stage is streaming;
+    only hash/id markers shuffle."""
+    from html_parser_ray.functions.c4clean import c4_filter
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    from html_parser_ray.functions.sampling import shard_assign
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cleaned = c4_filter(ds.map_batches(_c4_wrap, batch_format="pyarrow"))
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    deduped = delta_exact_dedup(cleaned, empty)
+    out = shard_assign(deduped, n_shards=16, salt="curate")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "shard": b.column("shard"),
+                            "shuffle_key": b.column("shuffle_key")}),
+        batch_format="pyarrow")
 
 
 def q_hll_registers(sf_dir: str):
@@ -1304,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q_hll_registers,
         "c4_clean": q_c4_clean,
         "url_blocklist": q_url_blocklist,
+        "curate_pipeline": q_curate_pipeline,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1794,45 +1858,33 @@ def oracle_sql() -> dict[str, str]:
         # chr(10); line rule = terminal punct AND >=5 space words AND no
         # 'javascript'; page rule = >=3 kept AND no lorem-ipsum/brace
         "c4_clean": (
-            "WITH toks AS (SELECT doc_id, string_split_regex("
-            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)), "
-            "'[ \\t\\n\\r\\f]+') AS t FROM documents), "
-            "w AS (SELECT doc_id, "
-            "'Intro header for doc ' || CAST(doc_id AS VARCHAR) "
-            "|| chr(10) || "
-            "array_to_string(list_slice(t, 1, 8), ' ') || '.' "
-            "|| chr(10) || "
-            "'Enable javascript to view this page.' || chr(10) || "
-            "'Short one.' || chr(10) || "
-            "array_to_string(list_slice(t, 9, 16), ' ') || "
-            "' extra words here too?' || chr(10) || "
-            "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' "
-            "ELSE 'Closing statement line number five.' END || chr(10) || "
-            "CASE WHEN doc_id % 11 = 0 THEN "
-            "'code sample { weird } line.' "
-            "ELSE 'Final polite farewell sentence now.' END AS text "
-            "FROM toks), "
-            "l AS (SELECT doc_id, text, "
-            "unnest(string_split(text, chr(10))) AS line, "
-            "generate_subscripts(string_split(text, chr(10)), 1) AS i "
-            "FROM w), "
-            "k AS (SELECT doc_id, text, line, i, "
-            "(regexp_matches(line, '[.!?\"]$') "
-            "AND len(string_split_regex(trim(line, ' '), '[ ]+')) >= 5 "
-            "AND NOT contains(lower(line), 'javascript')) AS keep "
-            "FROM l), "
-            "agg AS (SELECT doc_id, "
-            "COALESCE(string_agg(line, chr(10) ORDER BY i) "
-            "FILTER (keep), '') AS clean_text, "
-            "count(*) FILTER (keep) AS n_kept, count(*) AS n_total, "
-            "any_value(text) AS text FROM k GROUP BY doc_id) "
-            "SELECT doc_id, clean_text, "
+            _C4_CTE +
+            " SELECT doc_id, clean_text, "
             "CAST(n_kept AS BIGINT) AS n_lines_kept, "
             "CAST(n_total AS BIGINT) AS n_lines_total, "
             "CAST((n_kept >= 3 "
             "AND NOT contains(lower(text), 'lorem ipsum') "
             "AND NOT contains(text, '{')) AS BIGINT) AS page_kept "
             "FROM agg"
+        ),
+        # curate_pipeline: C4 page filter -> first-keeper exact dedup on
+        # the cleaned text -> md5 shard assignment (salt 'curate', 16
+        # shards), all composed from the same CTEs the stages oracle
+        "curate_pipeline": (
+            _C4_CTE +
+            ", pages AS (SELECT doc_id, clean_text FROM agg "
+            "WHERE n_kept >= 3 "
+            "AND NOT contains(lower(text), 'lorem ipsum') "
+            "AND NOT contains(text, '{')), "
+            "ded AS (SELECT doc_id FROM pages p WHERE NOT EXISTS ("
+            "SELECT 1 FROM pages q WHERE q.clean_text = p.clean_text "
+            "AND q.doc_id < p.doc_id)) "
+            "SELECT doc_id, "
+            "CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':curate') "
+            "% 9223372036854775808) % 16 AS BIGINT) AS shard, "
+            "CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':curate') "
+            "% 9223372036854775808 AS BIGINT) AS shuffle_key "
+            "FROM ded"
         ),
         # url_blocklist: same planted url/host plan as url_canonical;
         # rule order pinned (sorted domains, then sorted substrings)
