@@ -880,3 +880,45 @@ def test_url_blocklist_domain_beats_substring(ray_session):
         ray.data.from_arrow(tbl), blocked_domains=["bad.com"],
         blocked_substrings=["casino"]).take_all()
     assert rows[0]["reason"] == "domain:bad.com"
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+
+def test_bpe_merges_hand_example():
+    from html_parser_ray.functions.bpe import END, bpe_merges
+    # classic Sennrich example shape: 'low' x5, 'lower' x2
+    counts = pa.table({"word": pa.array(["low", "lower"], pa.string()),
+                       "n": pa.array([5, 2], pa.int64())})
+    merges = bpe_merges(counts, 3)
+    # 'l','o' (7) merges first; then 'lo','w' (7); then 'low','</w>' (5)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    assert merges[2] == ("low", END)
+
+
+def test_bpe_tie_break_lexicographic():
+    from html_parser_ray.functions.bpe import bpe_merges
+    counts = pa.table({"word": pa.array(["ab", "cd"], pa.string()),
+                       "n": pa.array([3, 3], pa.int64())})
+    # pairs (a,b), (b,</w>), (c,d), (d,</w>) all weight 3 -> ('a','b')
+    assert bpe_merges(counts, 1)[0] == ("a", "b")
+
+
+def test_bpe_train_deterministic_and_encodes(ray_session):
+    import ray
+    from html_parser_ray.functions.bpe import END, bpe_encode, bpe_train
+    texts = ["the cat sat on the mat", "the cats sat", "a cat on a mat"] * 20
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    m1 = bpe_train(ds, 10)
+    m2 = bpe_train(ds, 10)
+    assert m1 == m2 and len(m1) == 10
+    # a tiny vocab exhausts: requesting more merges stops early
+    assert len(bpe_train(ds, 1000)) == 14
+    # frequent word 'the' becomes a single token with its end marker
+    assert bpe_encode("the", m1) == ["the" + END]
+    # unseen word still encodes (falls back to finer pieces)
+    pieces = bpe_encode("thematic", m1)
+    assert "".join(pieces) == "thematic" + END
