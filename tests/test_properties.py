@@ -86,3 +86,82 @@ def test_simhash_minhash_deterministic(text):
     assert simhash64(text) == simhash64(text)
     assert minhash_signature(text) == minhash_signature(text)
     assert 0 <= simhash64(text) < (1 << 63)
+
+
+# ---------------------------------------------------------------------------
+# round-3 curation-operator invariants
+
+_line_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=60)
+
+
+@given(st.lists(_line_text, max_size=10))
+@settings(**_SETTINGS)
+def test_c4_clean_idempotent(lines):
+    """Every line c4 keeps still satisfies the line rules, so cleaning
+    the cleaned text changes nothing (page rules may differ — compare
+    the line layer)."""
+    from html_parser_ray.functions.c4clean import c4_clean_doc
+    text = "\n".join(lines)
+    clean1, n1, _, _ = c4_clean_doc(text)
+    clean2, n2, n_total2, _ = c4_clean_doc(clean1)
+    if n1 == 0:
+        assert clean2 == ""
+    else:
+        assert clean2 == clean1 and n2 == n1 == n_total2
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=0x20,
+                                      max_codepoint=0x7E), max_size=200),
+       st.integers(min_value=1, max_value=6))
+@settings(**_SETTINGS)
+def test_decontam_self_snippet_always_hits(text, n_tokens):
+    """A document always contains its own snippet window."""
+    from html_parser_ray.functions.decontam import _tokens, snippet_of
+    snip = snippet_of(text, skip=0, n_tokens=n_tokens)
+    if snip is not None:
+        toks = _tokens(text)
+        wins = {" ".join(toks[j:j + n_tokens])
+                for j in range(len(toks) - n_tokens + 1)}
+        assert snip in wins
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=50, unique=True),
+       st.integers(min_value=1, max_value=64))
+@settings(**_SETTINGS)
+def test_shard_assign_pure_and_stable_under_batching(ids, n_shards):
+    """Assignment is a pure per-row function: computing it on any batch
+    split yields identical (shard, key) per id."""
+    import pyarrow as pa
+    from html_parser_ray.functions.sampling import shard_assign_batch
+    whole = shard_assign_batch(
+        pa.table({"doc_id": pa.array(ids, pa.int64())}),
+        n_shards=n_shards, salt="s")
+    w = {i: (s, k) for i, s, k in zip(whole.column("doc_id").to_pylist(),
+                                      whole.column("shard").to_pylist(),
+                                      whole.column("shuffle_key").to_pylist())}
+    for piece in (ids[: len(ids) // 2], ids[len(ids) // 2:]):
+        if not piece:
+            continue
+        part = shard_assign_batch(
+            pa.table({"doc_id": pa.array(piece, pa.int64())}),
+            n_shards=n_shards, salt="s")
+        for i, s, k in zip(part.column("doc_id").to_pylist(),
+                           part.column("shard").to_pylist(),
+                           part.column("shuffle_key").to_pylist()):
+            assert w[i] == (s, k)
+            assert 0 <= s < n_shards and s == k % n_shards
+
+
+@given(st.text(alphabet=st.sampled_from("abcde"), min_size=1, max_size=12),
+       st.lists(st.tuples(st.sampled_from("abcde"), st.sampled_from("abcde")),
+                max_size=8))
+@settings(**_SETTINGS)
+def test_bpe_encode_reconstructs(word, raw_merges):
+    """Encoding never loses characters: joined pieces == word + END."""
+    from html_parser_ray.functions.bpe import END, bpe_encode
+    merges = [tuple(m) for m in raw_merges]
+    pieces = bpe_encode(word, merges)
+    assert "".join(pieces) == word + END
