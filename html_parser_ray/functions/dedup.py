@@ -810,14 +810,14 @@ def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
 
     Scale shape: the EXISTING corpus streams once as (text_hash) marker
     rows — 32-byte hex strings, never the payload — and co-shuffles with
-    the new batch's (text_hash, id) rows into one groupby with Min/Max
-    aggregates (no per-group Python). The id-set difference and the
-    final payload filter reuse ``_apply_drop``'s bounded-broadcast /
-    partitioned-anti-join machinery; the new payload moves at most once,
-    the existing payload never.
+    the new batch's (text_hash, id) rows on hash(text_hash prefix) %
+    ``num_partitions``; ONE vectorized np.unique segment reduction per
+    partition emits the drop ids directly (not one Python call per
+    distinct text). The final payload filter reuses ``_apply_drop``'s
+    bounded-broadcast / partitioned-anti-join machinery: two payload
+    passes total for the new batch (hashing + filter), zero for the
+    existing corpus.
     """
-    from ray.data.aggregate import Max, Min
-
     SENTINEL = np.int64(1 << 62)
 
     def new_marks(batch: pa.Table) -> pa.Table:
@@ -841,30 +841,40 @@ def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
             "old": pa.array(np.ones(n, dtype=np.int64)),
         })
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        # partition on the hash PREFIX (hex) so equal texts co-locate
+        h = batch.column("text_hash").to_pylist()
+        pref = np.array([int(x[:15], 16) for x in h], dtype=np.uint64)
+        return batch.append_column(
+            "part", pa.array(_hash_part(pref, num_partitions), pa.int64()))
+
+    def drops_in_part(group: pa.Table) -> pa.Table:
+        """ONE vectorized segment reduction per partition (not one call
+        per distinct text): a new row is dropped iff its text group has
+        an existing member or a smaller new id."""
+        h = np.array(group.column("text_hash").to_pylist(), dtype=object)
+        nid = group.column("nid").to_numpy(zero_copy_only=False)
+        old = group.column("old").to_numpy(zero_copy_only=False)
+        _uniq, inv = np.unique(h, return_inverse=True)
+        n_seg = len(_uniq)
+        has_old = np.zeros(n_seg, dtype=np.int64)
+        np.maximum.at(has_old, inv, old)
+        min_new = np.full(n_seg, SENTINEL, dtype=np.int64)
+        np.minimum.at(min_new, inv,
+                      np.where(old == 1, SENTINEL, nid))
+        drop = (old == 0) & ((has_old[inv] == 1) | (nid != min_new[inv]))
+        return pa.table({id_col: pa.array(nid[drop], pa.int64())})
+
+    # ONE compact co-shuffle of (hash, id, flag) rows; drop ids fall out
+    # of a per-partition vectorized reduction — the payload is read only
+    # here (for hashing) and in the final filter pass below
     marks = (new_ds.map_batches(new_marks, batch_format="pyarrow")
              .union(existing_ds.map_batches(old_marks,
-                                            batch_format="pyarrow")))
-    agg = (marks.groupby("text_hash")
-           .aggregate(Min("nid", alias_name="min_new_id"),
-                      Max("old", alias_name="has_old")))
-
-    def survivors(batch: pa.Table) -> pa.Table:
-        ids = batch.column("min_new_id").to_numpy(zero_copy_only=False)
-        has_old = batch.column("has_old").to_numpy(zero_copy_only=False)
-        keep = (has_old == 0) & (ids < SENTINEL)
-        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
-
-    # compact id-only tables; materialized so _apply_drop's count() +
-    # iteration don't recompute the aggregate
-    keep_ids = agg.map_batches(survivors,
-                               batch_format="pyarrow").materialize()
-    new_ids = new_ds.map_batches(
-        lambda b: pa.table({id_col: b.column(id_col)}),
-        batch_format="pyarrow")
-    # drop set = new ids \ survivor ids (both compact id-only datasets)
-    drop_ids = _apply_drop(new_ids, keep_ids, id_col=id_col,
-                           broadcast_limit=broadcast_limit,
-                           num_partitions=num_partitions).materialize()
+                                            batch_format="pyarrow"))
+             .map_batches(add_part, batch_format="pyarrow"))
+    drop_ids = (marks.groupby("part")
+                .map_groups(drops_in_part, batch_format="pyarrow")
+                .materialize())
     return _apply_drop(new_ds, drop_ids, id_col=id_col,
                        broadcast_limit=broadcast_limit,
                        num_partitions=num_partitions)
