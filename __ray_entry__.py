@@ -378,6 +378,39 @@ def q_c4_clean(sf_dir: str):
     return c4_clean(ds.map_batches(_c4_wrap, batch_format="pyarrow"))
 
 
+def _sampled_orders(sf_dir: str):
+    """Every-10th order (o_orderkey % 10 == 0) — the join right side;
+    the subset makes BOTH the semi and anti results non-trivial (all
+    customers have some order in the full table)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 10 == 0)).select(["o_custkey"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi-join (EXISTS): customers having an order in the sampled
+    subset — right side reduced to 8-B key markers, bounded-broadcast
+    primary path."""
+    from html_parser_ray.functions.joins import semi_join
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return semi_join(cust, _sampled_orders(sf_dir), on="c_custkey",
+                     right_on="o_custkey")
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no order in the sampled
+    subset."""
+    from html_parser_ray.functions.joins import anti_join
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return anti_join(cust, _sampled_orders(sf_dir), on="c_custkey",
+                     right_on="o_custkey")
+
+
 def q_curate_pipeline(sf_dir: str):
     """End-to-end curation composition: C4 line/page cleaning → page
     filter → exact dedup (first keeper by id; the planted ' dup' chains
@@ -1368,6 +1401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "url_blocklist": q_url_blocklist,
         "curate_pipeline": q_curate_pipeline,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
         "host_rollup": q_host_rollup,
@@ -1866,6 +1901,17 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT contains(lower(text), 'lorem ipsum') "
             "AND NOT contains(text, '{')) AS BIGINT) AS page_kept "
             "FROM agg"
+        ),
+        # semi/anti join: EXISTS / NOT EXISTS
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_orderkey % 10 = 0 "
+            "AND o.o_custkey = c.c_custkey)"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_orderkey % 10 = 0 "
+            "AND o.o_custkey = c.c_custkey)"
         ),
         # curate_pipeline: C4 page filter -> first-keeper exact dedup on
         # the cleaned text -> md5 shard assignment (salt 'curate', 16

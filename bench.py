@@ -154,7 +154,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "pack_spans", "dup_clusters", "grouped_topk",
                  "lm_filter", "anchor_rollup", "delta_dedup",
                  "hll_registers", "c4_clean", "url_blocklist",
-                 "curate_pipeline"]:
+                 "curate_pipeline", "customers_with_orders",
+                 "customers_without_orders"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

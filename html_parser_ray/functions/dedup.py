@@ -676,7 +676,21 @@ def connected_components(pairs_ds, *, src: str = "doc_a", dst: str = "doc_b",
 def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
                 broadcast_limit: int = 20_000_000,
                 num_partitions: int = 4_096):
-    """Anti-join: filter ``docs_ds`` to rows whose ``id_col`` is NOT in
+    return _apply_id_filter(docs_ds, drop_ds, keep=False, id_col=id_col,
+                            broadcast_limit=broadcast_limit,
+                            num_partitions=num_partitions)
+
+
+def _apply_id_filter(docs_ds, ids_ds, *, keep: bool,
+                     id_col: str = "doc_id",
+                     broadcast_limit: int = 20_000_000,
+                     num_partitions: int = 4_096):
+    """Anti-join (``keep=False``, the classic drop-set filter) or
+    semi-join (``keep=True``): filter ``docs_ds`` to rows whose
+    ``id_col`` is NOT in / IS in ``ids_ds``. Doc below describes the
+    drop form; the keep form inverts the final mask only.
+
+    Anti-join: filter ``docs_ds`` to rows whose ``id_col`` is NOT in
     ``drop_ds`` (a materialized single-column ``doc_id`` Dataset).
 
     Primary path: the drop ids are collected once, sorted, and broadcast
@@ -699,30 +713,32 @@ def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
     """
     import ray
 
-    n_drop = drop_ds.count()
+    want = keep                       # row survives iff membership == want
+    n_ids = ids_ds.count()
 
-    if n_drop <= broadcast_limit:
-        drop_ids = np.sort(np.concatenate(
+    if n_ids <= broadcast_limit:
+        set_ids = np.sort(np.concatenate(
             [b.column("doc_id").to_numpy(zero_copy_only=False)
-             for b in drop_ds.iter_batches(batch_format="pyarrow")]
+             for b in ids_ds.iter_batches(batch_format="pyarrow")]
             or [np.array([], dtype=np.int64)]))
-        drop_ref = ray.put(drop_ids)
+        set_ref = ray.put(set_ids)
 
-        def keep(batch: pa.Table) -> pa.Table:
-            drop = ray.get(drop_ref)
-            if len(drop) == 0:
-                return batch
+        def flt(batch: pa.Table) -> pa.Table:
+            members = ray.get(set_ref)
+            if len(members) == 0:
+                return (batch.slice(0, 0) if want else batch)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
-            hit = drop[pos] == ids
-            return batch.filter(pa.array(~hit))
+            pos = np.minimum(np.searchsorted(members, ids),
+                             len(members) - 1)
+            hit = members[pos] == ids
+            return batch.filter(pa.array(hit if want else ~hit))
 
-        return docs_ds.map_batches(keep, batch_format="pyarrow")
+        return docs_ds.map_batches(flt, batch_format="pyarrow")
 
     logger.warning(
-        "_apply_drop: drop set has %d ids (> broadcast_limit=%d); "
-        "falling back to partitioned marker anti-join (one payload shuffle)",
-        n_drop, broadcast_limit)
+        "_apply_id_filter(keep=%s): id set has %d ids "
+        "(> broadcast_limit=%d); falling back to partitioned marker "
+        "join (one payload shuffle)", want, n_ids, broadcast_limit)
     doc_schema = docs_ds.schema()
     pad_cols = [n for n in doc_schema.names if n != id_col]
     id_type = doc_schema.base_schema.field(id_col).type
@@ -753,18 +769,21 @@ def _apply_drop(docs_ds, drop_ds, *, id_col: str = "doc_id",
                                                             "__part"]})
 
     union = (docs_ds.map_batches(tag_docs, batch_format="pyarrow")
-             .union(drop_ds.map_batches(pad_markers, batch_format="pyarrow")))
+             .union(ids_ds.map_batches(pad_markers, batch_format="pyarrow")))
 
     def filter_part(group: pa.Table) -> pa.Table:
-        mask_drop = group.column("__drop").to_numpy(zero_copy_only=False)
-        part_drop = np.unique(
-            group.column(id_col).to_numpy(zero_copy_only=False)[mask_drop])
-        docs = group.filter(pa.array(~mask_drop))
-        if len(part_drop):
+        mask_marker = group.column("__drop").to_numpy(zero_copy_only=False)
+        part_set = np.unique(
+            group.column(id_col).to_numpy(zero_copy_only=False)[mask_marker])
+        docs = group.filter(pa.array(~mask_marker))
+        if len(part_set):
             ids = docs.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(part_drop, ids),
-                             len(part_drop) - 1)
-            docs = docs.filter(pa.array(~(part_drop[pos] == ids)))
+            pos = np.minimum(np.searchsorted(part_set, ids),
+                             len(part_set) - 1)
+            hit = part_set[pos] == ids
+            docs = docs.filter(pa.array(hit if want else ~hit))
+        elif want:
+            docs = docs.slice(0, 0)
         return docs.drop_columns(["__drop", "__part"])
 
     return union.groupby("__part").map_groups(filter_part,

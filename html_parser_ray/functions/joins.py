@@ -216,3 +216,45 @@ def range_join(left, right, *, on: str, ts: str, lo_us: int, hi_us: int,
         return pa.table(out)
 
     return tagged.groupby(on).map_groups(per_group, batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              broadcast_limit: int = 20_000_000,
+              num_partitions: int = 4_096):
+    """Keep left rows whose ``on`` key appears in ``right_ds`` (EXISTS
+    semantics). The right side is reduced to a compact int64 key table
+    (8 B/row — never its payload) and routed through the shared
+    bounded-broadcast / partitioned-marker machinery (dedup's
+    ``_apply_id_filter``): below ``broadcast_limit`` keys the left side
+    streams with zero shuffle; above it, one co-shuffle of payload +
+    key markers with a vectorized sorted-membership filter per
+    partition."""
+    from .dedup import _apply_id_filter
+
+    rk = right_on or on
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column(rk).cast(pa.int64())})
+
+    key_ds = right_ds.map_batches(keys, batch_format="pyarrow").materialize()
+    return _apply_id_filter(left_ds, key_ds, keep=True, id_col=on,
+                            broadcast_limit=broadcast_limit,
+                            num_partitions=num_partitions)
+
+
+def anti_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              broadcast_limit: int = 20_000_000,
+              num_partitions: int = 4_096):
+    """Keep left rows whose ``on`` key does NOT appear in ``right_ds``
+    (NOT EXISTS semantics) — same machinery as semi_join, inverted."""
+    from .dedup import _apply_id_filter
+
+    rk = right_on or on
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column(rk).cast(pa.int64())})
+
+    key_ds = right_ds.map_batches(keys, batch_format="pyarrow").materialize()
+    return _apply_id_filter(left_ds, key_ds, keep=False, id_col=on,
+                            broadcast_limit=broadcast_limit,
+                            num_partitions=num_partitions)

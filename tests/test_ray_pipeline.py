@@ -897,3 +897,34 @@ def test_dedup_spans_empty_and_whitespace_doc(ray_session):
     for i in (1, 2):
         assert rows[i]["text"] == ""
         assert rows[i]["n_blocks"] == 0 and rows[i]["n_dropped"] == 0
+
+
+def test_semi_anti_join_partition_and_exhaustive(ray_session):
+    import ray
+    from html_parser_ray.functions.joins import anti_join, semi_join
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array(list("abcdef"), pa.string()),
+    })
+    right = pa.table({"rk": pa.array([2, 4, 4, 9], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(3)
+    rds = ray.data.from_arrow(right)
+    semi = sorted(r["k"] for r in semi_join(
+        lds, rds, on="k", right_on="rk").take_all())
+    anti = sorted(r["k"] for r in anti_join(
+        lds, rds, on="k", right_on="rk").take_all())
+    assert semi == [2, 4]
+    assert anti == [1, 3, 5, 6]
+    # forced marker-fallback path gives identical results
+    semi_f = sorted(r["k"] for r in semi_join(
+        lds, rds, on="k", right_on="rk", broadcast_limit=1,
+        num_partitions=4).take_all())
+    anti_f = sorted(r["k"] for r in anti_join(
+        lds, rds, on="k", right_on="rk", broadcast_limit=1,
+        num_partitions=4).take_all())
+    assert semi_f == semi and anti_f == anti
+    # empty right side: semi -> nothing, anti -> everything
+    empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert semi_join(lds, empty, on="k", right_on="rk").count() == 0
+    assert sorted(r["k"] for r in anti_join(
+        lds, empty, on="k", right_on="rk").take_all()) == [1, 2, 3, 4, 5, 6]
