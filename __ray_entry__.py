@@ -392,6 +392,15 @@ def _sampled_orders(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_range_partition(sf_dir: str):
+    """Quantile-boundary range partitioning of documents by n_chars
+    (4 near-equal buckets, no global sort) — boundaries from the exact
+    value histogram, assignment via one searchsorted pass."""
+    from html_parser_ray.functions.sketches import range_partition
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return range_partition(ds, "n_chars", 4)
+
+
 def q_customers_with_orders(sf_dir: str):
     """Semi-join (EXISTS): customers having an order in the sampled
     subset — right side reduced to 8-B key markers, bounded-broadcast
@@ -1402,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "curate_pipeline": q_curate_pipeline,
         "customers_with_orders": q_customers_with_orders,
+        "range_partition": q_range_partition,
         "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
@@ -1901,6 +1911,19 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT contains(lower(text), 'lorem ipsum') "
             "AND NOT contains(text, '{')) AS BIGINT) AS page_kept "
             "FROM agg"
+        ),
+        # range_partition: boundaries via the quantiles oracle's rank
+        # rule at k/4; bucket = count of boundaries strictly below v
+        "range_partition": (
+            "WITH s AS (SELECT n_chars, "
+            "row_number() OVER (ORDER BY n_chars) AS rn, "
+            "count(*) OVER () AS n FROM documents), "
+            "b AS (SELECT s.n_chars AS bd FROM s JOIN "
+            "(VALUES (2500), (5000), (7500)) AS q(q_bp) "
+            "ON s.rn = GREATEST(1, (q.q_bp * s.n + 9999) // 10000)) "
+            "SELECT doc_id, n_chars, "
+            "CAST((SELECT count(*) FROM b WHERE d.n_chars > b.bd) "
+            "AS BIGINT) AS bucket FROM documents d"
         ),
         # semi/anti join: EXISTS / NOT EXISTS
         "customers_with_orders": (

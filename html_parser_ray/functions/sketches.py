@@ -224,3 +224,30 @@ def hll_estimate(registers: pa.Table, p: int = 6) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)        # linear counting
     return raw
+
+
+def range_partition(ds, col: str, n_buckets: int):
+    """Append a ``bucket`` column assigning each row to one of
+    ``n_buckets`` value ranges with (near-)equal row counts — the range
+    partitioner that gives sort-merge/as-of stages co-located key ranges
+    WITHOUT a global sort.
+
+    Boundaries are the exact (k/n)-quantiles (same pinned quantile_disc
+    rank rule as exact_quantiles); bucket(v) = number of boundaries
+    strictly below v, so values equal to a boundary land in the lower
+    bucket — deterministic and SQL-expressible. Two streaming passes:
+    the histogram pass (bounded by value cardinality) and the assign
+    pass; the boundary list (n_buckets-1 ints) rides in the task
+    closure."""
+    q_bps = [(k * 10000) // n_buckets for k in range(1, n_buckets)]
+    qt = exact_quantiles(ds, col, q_bps)
+    bounds = np.sort(np.asarray(qt.column("value").to_pylist(),
+                                dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(bounds, vals, side="left")
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

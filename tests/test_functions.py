@@ -922,3 +922,38 @@ def test_bpe_train_deterministic_and_encodes(ray_session):
     # unseen word still encodes (falls back to finer pieces)
     pieces = bpe_encode("thematic", m1)
     assert "".join(pieces) == "thematic" + END
+
+
+# ---------------------------------------------------------------------------
+# range partitioning
+
+def test_range_partition_balanced_and_ordered(ray_session):
+    import ray, random
+    from html_parser_ray.functions.sketches import range_partition
+    rng = random.Random(5)
+    vals = [rng.randint(0, 10_000) for _ in range(1000)]
+    tbl = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                    "n_chars": pa.array(vals, pa.int64())})
+    out = range_partition(ray.data.from_arrow(tbl).repartition(6),
+                          "n_chars", 4).take_all()
+    assert len(out) == 1000
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["n_chars"])
+    assert sorted(by_bucket) == [0, 1, 2, 3]
+    # order property: every value in bucket k <= every value in bucket k+1
+    for k in range(3):
+        assert max(by_bucket[k]) <= min(by_bucket[k + 1])
+    # balance: each bucket within 2x of the ideal quarter
+    for k in range(4):
+        assert 125 <= len(by_bucket[k]) <= 500
+
+
+def test_range_partition_skewed_constant_column(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import range_partition
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "n_chars": pa.array([7] * 50, pa.int64())})
+    out = range_partition(ray.data.from_arrow(tbl), "n_chars", 4).take_all()
+    # all-equal values: boundaries coincide, everything lands in bucket 0
+    assert {r["bucket"] for r in out} == {0}
