@@ -298,6 +298,27 @@ def q_delta_dedup(sf_dir: str):
     return delta_exact_dedup(new, existing)
 
 
+_DUP_CLOSURE_CTE = (
+    # transitive closure over the planted dup-suffix relation — shared
+    # by dup_clusters / minhash_dedup_best
+    "WITH RECURSIVE e AS ("
+    "SELECT d.doc_id AS u, o.doc_id AS v FROM documents d "
+    "JOIN documents o ON d.doc_id <> o.doc_id AND ("
+    "(LENGTH(o.text) < LENGTH(d.text) "
+    " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
+    " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
+    "     '( dup)+')) "
+    "OR (LENGTH(d.text) < LENGTH(o.text) "
+    " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
+    " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
+    "     '( dup)+')))), "
+    "reach(u, v) AS ("
+    "SELECT u, v FROM e "
+    "UNION "
+    "SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v)"
+)
+
+
 _C4_WS = re.compile(r"[ \t\n\r\f]+")
 
 # shared C4 CTE chain (c4_clean / curate_pipeline oracles): planted
@@ -892,6 +913,26 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs, num_partitions=8)
 
 
+def q_minhash_dedup_best(sf_dir: str):
+    """Near-dedup keeping the BEST component member (max n_chars, tie
+    min id) — the curation-grade canonical rule; CC labels semi-join
+    the compact score table, per-component argmax is a vectorized
+    segment reduction."""
+    from html_parser_ray.functions.dedup import (dedup_keep_best,
+                                                 minhash_dedup_pairs)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_dedup_pairs(
+        ds.map_batches(lambda b: b.select(["doc_id", "text"]),
+                       batch_format="pyarrow"))
+    scores = ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "score": b.column("n_chars")}),
+        batch_format="pyarrow")
+    kept = dedup_keep_best(ds, pairs, scores, num_partitions=8)
+    return kept.map_batches(lambda b: b.select(["doc_id"]),
+                            batch_format="pyarrow")
+
+
 def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composition: quality gate → exact
     dedup → MinHash near-dedup, one compact feature pass + one payload
@@ -1412,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": q_curate_pipeline,
         "customers_with_orders": q_customers_with_orders,
         "range_partition": q_range_partition,
+        "minhash_dedup_best": q_minhash_dedup_best,
         "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
@@ -1621,23 +1663,23 @@ def oracle_sql() -> dict[str, str]:
         # (minhash_neardup_pairs hash-matches it); component = min
         # reachable id, exactly the CC contract
         "dup_clusters": (
-            "WITH RECURSIVE e AS ("
-            "SELECT d.doc_id AS u, o.doc_id AS v FROM documents d "
-            "JOIN documents o ON d.doc_id <> o.doc_id AND ("
-            "(LENGTH(o.text) < LENGTH(d.text) "
-            " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
-            " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
-            "     '( dup)+')) "
-            "OR (LENGTH(d.text) < LENGTH(o.text) "
-            " AND d.text = substr(o.text, 1, LENGTH(d.text)) "
-            " AND regexp_full_match(substr(o.text, LENGTH(d.text) + 1), "
-            "     '( dup)+')))), "
-            "reach(u, v) AS ("
-            "SELECT u, v FROM e "
-            "UNION "
-            "SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v) "
-            "SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) "
+            _DUP_CLOSURE_CTE +
+            " SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) "
             "AS component FROM reach GROUP BY u"
+        ),
+        # minhash_dedup_best: same closure; keeper = max n_chars then
+        # min id per component; survivors = everyone else not in a
+        # component
+        "minhash_dedup_best": (
+            _DUP_CLOSURE_CTE +
+            ", comp AS (SELECT u AS doc_id, least(u, min(v)) AS component "
+            "FROM reach GROUP BY u), "
+            "ranked AS (SELECT c.doc_id, row_number() OVER ("
+            "PARTITION BY c.component "
+            "ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn "
+            "FROM comp c JOIN documents d USING (doc_id)) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            "SELECT doc_id FROM ranked WHERE rn > 1)"
         ),
         "minhash_dedup": (
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("

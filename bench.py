@@ -155,7 +155,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "lm_filter", "anchor_rollup", "delta_dedup",
                  "hll_registers", "c4_clean", "url_blocklist",
                  "curate_pipeline", "customers_with_orders",
-                 "customers_without_orders", "range_partition"]:
+                 "customers_without_orders", "range_partition",
+                 "minhash_dedup_best"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

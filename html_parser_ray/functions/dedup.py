@@ -897,3 +897,114 @@ def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
     return _apply_drop(new_ds, drop_ids, id_col=id_col,
                        broadcast_limit=broadcast_limit,
                        num_partitions=num_partitions)
+
+
+def dedup_keep_best(docs_ds, pairs_ds, scores_ds, *,
+                    id_col: str = "doc_id", score_col: str = "score",
+                    broadcast_limit: int = 20_000_000,
+                    num_partitions: int = 4_096):
+    """Near-dedup keeping the BEST member of each duplicate component
+    (max ``score_col``, ties to the smaller id) instead of the smallest
+    id — the curation-grade canonical rule (among near-identical crawls
+    keep the longest / highest-quality capture, not the earliest).
+
+    Scale shape: CC labels (dup docs only) semi-join against the compact
+    (id, score) table — the score side streams, only 8-B key markers
+    broadcast; the per-component argmax is ONE vectorized np.unique
+    segment reduction per hash partition (delta_exact_dedup's pattern);
+    the payload filter reuses ``_apply_drop``. The payload itself moves
+    at most once, and only above ``broadcast_limit``."""
+    from .joins import semi_join
+
+    comp = connected_components(pairs_ds).materialize()
+    comp_ids = comp.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+        batch_format="pyarrow")
+    # scores restricted to dup-graph members (compact small side)
+    dup_scores = semi_join(
+        scores_ds.map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column(id_col).cast(pa.int64()),
+                "score": b.column(score_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        comp_ids, on="doc_id",
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions)
+
+    # attach component to each scored dup doc: tagged union + one
+    # compact co-shuffle on doc_id hash, vectorized merge per partition
+    NEG = np.int64(-(1 << 62))
+
+    def tag_comp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "component": batch.column("component"),
+            "score": pa.array(np.full(len(ids), NEG), pa.int64()),
+            "part": pa.array(_hash_part(ids.astype(np.uint64),
+                                        num_partitions), pa.int64()),
+        })
+
+    def tag_score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "component": pa.array(np.full(len(ids), NEG), pa.int64()),
+            "score": batch.column("score"),
+            "part": pa.array(_hash_part(ids.astype(np.uint64),
+                                        num_partitions), pa.int64()),
+        })
+
+    union = (comp.map_batches(tag_comp, batch_format="pyarrow")
+             .union(dup_scores.map_batches(tag_score,
+                                           batch_format="pyarrow")))
+
+    def merge_in_part(group: pa.Table) -> pa.Table:
+        """Per doc_id-hash partition: merge (id→component) with
+        (id→score) rows, re-keyed by COMPONENT hash for the argmax
+        stage (a component's members live in different id partitions)."""
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        comps = group.column("component").to_numpy(zero_copy_only=False)
+        scores = group.column("score").to_numpy(zero_copy_only=False)
+        uid, inv = np.unique(ids, return_inverse=True)
+        n = len(uid)
+        comp_of = np.full(n, NEG, dtype=np.int64)
+        np.maximum.at(comp_of, inv, comps)
+        score_of = np.full(n, NEG, dtype=np.int64)
+        np.maximum.at(score_of, inv, scores)
+        in_graph = comp_of != NEG
+        uid, comp_of, score_of = (uid[in_graph], comp_of[in_graph],
+                                  score_of[in_graph])
+        return pa.table({
+            "doc_id": pa.array(uid, pa.int64()),
+            "component": pa.array(comp_of, pa.int64()),
+            "score": pa.array(score_of, pa.int64()),
+            "cpart": pa.array(_hash_part(comp_of.astype(np.uint64),
+                                         num_partitions), pa.int64()),
+        })
+
+    def argmax_in_part(group: pa.Table) -> pa.Table:
+        """Per component-hash partition: ONE segment argmax per
+        component (max score, ties to min id); emit non-best dup ids."""
+        uid = group.column("doc_id").to_numpy(zero_copy_only=False)
+        comp_of = group.column("component").to_numpy(zero_copy_only=False)
+        score_of = group.column("score").to_numpy(zero_copy_only=False)
+        if not len(uid):
+            return pa.table({id_col: pa.array([], pa.int64())})
+        ucomp, cinv = np.unique(comp_of, return_inverse=True)
+        best_score = np.full(len(ucomp), NEG, dtype=np.int64)
+        np.maximum.at(best_score, cinv, score_of)
+        is_best_score = score_of == best_score[cinv]
+        keep_id = np.full(len(ucomp), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+        np.minimum.at(keep_id, cinv[is_best_score], uid[is_best_score])
+        drop = uid != keep_id[cinv]
+        return pa.table({id_col: pa.array(uid[drop], pa.int64())})
+
+    drop_ids = (union.groupby("part")
+                .map_groups(merge_in_part, batch_format="pyarrow")
+                .groupby("cpart")
+                .map_groups(argmax_in_part, batch_format="pyarrow")
+                .materialize())
+    return _apply_drop(docs_ds, drop_ids, id_col=id_col,
+                       broadcast_limit=broadcast_limit,
+                       num_partitions=num_partitions)

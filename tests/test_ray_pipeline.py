@@ -928,3 +928,32 @@ def test_semi_anti_join_partition_and_exhaustive(ray_session):
     assert semi_join(lds, empty, on="k", right_on="rk").count() == 0
     assert sorted(r["k"] for r in anti_join(
         lds, empty, on="k", right_on="rk").take_all()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_dedup_keep_best_by_score(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import dedup_keep_best
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(6)], pa.string()),
+    })
+    # components: {1,2,3} (chain) and {5,6}; 4 is a singleton
+    pairs = pa.table({
+        "doc_a": pa.array([1, 2, 5], pa.int64()),
+        "doc_b": pa.array([2, 3, 6], pa.int64()),
+    })
+    scores = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "score": pa.array([10, 99, 50, 1, 7, 7], pa.int64()),
+    })
+    kept = sorted(r["doc_id"] for r in dedup_keep_best(
+        ray.data.from_arrow(docs), ray.data.from_arrow(pairs),
+        ray.data.from_arrow(scores), num_partitions=4).take_all())
+    # comp {1,2,3}: best score 99 -> keep 2; comp {5,6}: tie 7 -> min id 5
+    assert kept == [2, 4, 5]
+    # forced fallback path identical
+    kept_f = sorted(r["doc_id"] for r in dedup_keep_best(
+        ray.data.from_arrow(docs), ray.data.from_arrow(pairs),
+        ray.data.from_arrow(scores), num_partitions=4,
+        broadcast_limit=1).take_all())
+    assert kept_f == kept
