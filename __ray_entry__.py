@@ -413,6 +413,30 @@ def _sampled_orders(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic hash-stable train/val/test split (98/1/1 permille
+    thresholds on md5(id:salt) % 1000) — never random_split."""
+    from html_parser_ray.functions.sampling import split_assign
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return split_assign(ds, permille=(900, 50, 50), salt="split")
+
+
+def q_nation_lookup_outer(sf_dir: str):
+    """Left-outer broadcast lookup: every supplier row survives; the
+    25-row nation side rides in the object store, matched rows get
+    n_name, unmatched (none here — FK integrity, asserted by the LEFT
+    JOIN oracle) would get NULL."""
+    from html_parser_ray.functions.joins import broadcast_lookup_outer
+    import pyarrow.parquet as pq
+    import os
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return broadcast_lookup_outer(sup, nation, key="s_nationkey",
+                                  lookup_key="n_nationkey",
+                                  value_cols=["n_name"])
+
+
 def q_range_partition(sf_dir: str):
     """Quantile-boundary range partitioning of documents by n_chars
     (4 near-equal buckets, no global sort) — boundaries from the exact
@@ -1454,6 +1478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": q_customers_with_orders,
         "range_partition": q_range_partition,
         "minhash_dedup_best": q_minhash_dedup_best,
+        "split_assign": q_split_assign,
+        "nation_lookup_outer": q_nation_lookup_outer,
         "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
@@ -1953,6 +1979,21 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT contains(lower(text), 'lorem ipsum') "
             "AND NOT contains(text, '{')) AS BIGINT) AS page_kept "
             "FROM agg"
+        ),
+        # split_assign: md5_number_lower % 2^63 is the full masked hash;
+        # bucket thresholds on (hash % 1000)
+        "split_assign": (
+            "SELECT doc_id, CAST(CASE "
+            "WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') "
+            "% 9223372036854775808) % 1000 < 900 THEN 0 "
+            "WHEN (md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') "
+            "% 9223372036854775808) % 1000 < 950 THEN 1 "
+            "ELSE 2 END AS BIGINT) AS split FROM documents"
+        ),
+        "nation_lookup_outer": (
+            "SELECT s.s_suppkey, s.s_nationkey, n.n_name "
+            "FROM supplier s LEFT JOIN nation n "
+            "ON n.n_nationkey = s.s_nationkey"
         ),
         # range_partition: boundaries via the quantiles oracle's rank
         # rule at k/4; bucket = count of boundaries strictly below v

@@ -258,3 +258,40 @@ def anti_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     return _apply_id_filter(left_ds, key_ds, keep=False, id_col=on,
                             broadcast_limit=broadcast_limit,
                             num_partitions=num_partitions)
+
+
+def broadcast_lookup_outer(ds, lookup_table: pa.Table, *, key: str,
+                           lookup_key: str, value_cols: list[str]):
+    """LEFT-OUTER form of broadcast_lookup: every left row survives;
+    unmatched rows get NULL value columns. Same broadcast shape (the
+    dimension side is ray.put once, one vectorized searchsorted per
+    batch, zero shuffle)."""
+    import ray
+    import pyarrow.compute as pc
+
+    order = np.argsort(lookup_table.column(lookup_key).to_numpy(
+        zero_copy_only=False))
+    keys = lookup_table.column(lookup_key).to_numpy(
+        zero_copy_only=False)[order]
+    values = {c: lookup_table.column(c).take(pa.array(order))
+              for c in value_cols}
+    types = {c: lookup_table.schema.field(c).type for c in value_cols}
+    ref = ray.put((keys, values))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        lkeys, lvalues = ray.get(ref)
+        if len(lkeys) == 0:
+            for c in value_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+        ids = batch.column(key).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(lkeys, ids), len(lkeys) - 1)
+        hit = pa.array(lkeys[pos] == ids)
+        for c in value_cols:
+            taken = lvalues[c].take(pa.array(pos))
+            batch = batch.append_column(
+                c, pc.if_else(hit, taken, pa.nulls(len(ids), types[c])))
+        return batch
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

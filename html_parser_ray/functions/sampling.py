@@ -110,3 +110,38 @@ def write_training_shards(ds, out_dir: str, *, n_shards: int = 64,
     shard_assign(ds, n_shards=n_shards, salt=salt,
                  id_col=id_col).write_parquet(
         out_dir, partition_cols=["shard"])
+
+
+def split_assign_batch(batch: pa.Table, *, permille: tuple[int, int, int]
+                       = (980, 10, 10), salt: str = "split",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Append a deterministic train/val/test ``split`` column (0/1/2)
+    by hashed-id permille thresholds — the dataset-split step, hash-
+    stable so re-runs and incremental ingests keep every doc's
+    assignment (never random_split, which reshuffles on every run).
+
+    Rule: b = (md5_low64(f"{id}:{salt}") & (2^63-1)) % 1000 (the same
+    63-bit masked hash as shard_assign = DuckDB md5_number_lower %
+    2^63); split 0 when b < permille[0], 1 below permille[0] +
+    permille[1], else 2. Thresholds must sum to 1000."""
+    if sum(permille) != 1000:
+        raise ValueError(f"permille must sum to 1000, got {permille}")
+    ids = batch.column(id_col).to_pylist()
+    b = (np.array([_md5_low64_str(f"{i}:{salt}") for i in ids],
+                  dtype=np.uint64) & np.uint64((1 << 63) - 1)) \
+        % np.uint64(1000)
+    split = np.where(b < permille[0], 0,
+                     np.where(b < permille[0] + permille[1], 1, 2))
+    return batch.append_column(
+        "split", pa.array(split.astype(np.int64), pa.int64()))
+
+
+def split_assign(ds, *, permille: tuple[int, int, int] = (980, 10, 10),
+                 salt: str = "split", id_col: str = "doc_id"):
+    """Dataset → Dataset with the deterministic split column appended."""
+    if sum(permille) != 1000:     # fail at plan time, not inside a task
+        raise ValueError(f"permille must sum to 1000, got {permille}")
+    return ds.map_batches(
+        lambda b: split_assign_batch(b, permille=permille, salt=salt,
+                                     id_col=id_col),
+        batch_format="pyarrow")

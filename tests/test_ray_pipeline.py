@@ -957,3 +957,42 @@ def test_dedup_keep_best_by_score(ray_session):
         ray.data.from_arrow(scores), num_partitions=4,
         broadcast_limit=1).take_all())
     assert kept_f == kept
+
+
+def test_broadcast_lookup_outer_nulls_and_empty(ray_session):
+    import ray
+    from html_parser_ray.functions.joins import broadcast_lookup_outer
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    lut = pa.table({"lk": pa.array([2], pa.int64()),
+                    "name": pa.array(["two"], pa.string())})
+    rows = {r["k"]: r["name"] for r in broadcast_lookup_outer(
+        ray.data.from_arrow(left), lut, key="k", lookup_key="lk",
+        value_cols=["name"]).take_all()}
+    assert rows == {1: None, 2: "two", 3: None}
+    empty = pa.table({"lk": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    rows2 = broadcast_lookup_outer(ray.data.from_arrow(left), empty,
+                                   key="k", lookup_key="lk",
+                                   value_cols=["name"]).take_all()
+    assert len(rows2) == 3 and all(r["name"] is None for r in rows2)
+
+
+def test_split_assign_ratios_and_stability(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import split_assign
+    import pytest
+    n = 5000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    rows = {r["doc_id"]: r["split"] for r in
+            split_assign(ds, permille=(900, 50, 50)).take_all()}
+    from collections import Counter
+    c = Counter(rows.values())
+    assert abs(c[0] / n - 0.9) < 0.03
+    assert abs(c[1] / n - 0.05) < 0.015
+    assert abs(c[2] / n - 0.05) < 0.015
+    again = {r["doc_id"]: r["split"] for r in
+             split_assign(ds, permille=(900, 50, 50)).take_all()}
+    assert again == rows          # hash-stable across runs
+    with pytest.raises(ValueError):
+        split_assign(ds, permille=(900, 50, 40))
