@@ -293,3 +293,30 @@ def nfc_batch(batch: pa.Table) -> pa.Table:
         "changed": pa.array(changed, pa.int64()),
         "n_chars_nfc": pa.array([len(t) for t in out], pa.int64()),
     })
+
+
+def compression_ratio_batch(batch: pa.Table, *, level: int = 6) -> pa.Table:
+    """Append zlib compression-ratio quality signals: highly repetitive
+    machine-generated text compresses far below natural prose, so the
+    ratio is a cheap single-pass quality gate (used alongside the
+    Gopher repetition rules; e.g. RefinedWeb drops extreme outliers).
+
+    Emits n_bytes (utf-8), n_compressed (zlib level ``level``), and
+    ratio_bp = n_compressed*10000//n_bytes (0 for empty). Deterministic
+    for a fixed zlib version — value-tested in pytest; no SQL oracle by
+    documented impossibility (no zlib in DuckDB). Stateless map_batches,
+    no shuffle."""
+    import zlib
+    texts = batch.column("text").to_pylist()
+    n_bytes = np.empty(len(texts), dtype=np.int64)
+    n_comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        n_bytes[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, level))
+    ratio = np.where(n_bytes > 0, n_comp * 10_000 // np.maximum(n_bytes, 1),
+                     0)
+    batch = batch.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
+    batch = batch.append_column("n_compressed", pa.array(n_comp, pa.int64()))
+    return batch.append_column("compression_bp",
+                               pa.array(ratio.astype(np.int64), pa.int64()))

@@ -957,3 +957,24 @@ def test_range_partition_skewed_constant_column(ray_session):
     out = range_partition(ray.data.from_arrow(tbl), "n_chars", 4).take_all()
     # all-equal values: boundaries coincide, everything lands in bucket 0
     assert {r["bucket"] for r in out} == {0}
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+
+def test_compression_ratio_orders_text_quality():
+    from html_parser_ray.functions.textstats import compression_ratio_batch
+    repetitive = "spam spam spam spam " * 100
+    prose = ("The committee considered seventeen distinct proposals, "
+             "ranging from municipal drainage reform to an entirely "
+             "speculative orbital elevator concept. ") * 10
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([repetitive, prose, ""], pa.string())})
+    out = compression_ratio_batch(batch)
+    bp = out.column("compression_bp").to_pylist()
+    assert bp[0] < bp[1]                  # repetition compresses harder
+    assert bp[2] == 0                     # empty text -> 0, no crash
+    assert out.column("n_bytes").to_pylist()[2] == 0
+    # deterministic
+    again = compression_ratio_batch(batch)
+    assert again.column("compression_bp").to_pylist() == bp
