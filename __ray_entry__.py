@@ -490,6 +490,17 @@ def q_curate_pipeline(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_dedup_lines(sf_dir: str):
+    """Corpus-global repeated-line removal (C4/RefinedWeb) over the
+    planted multi-line pages: shared boilerplate lines survive only in
+    the smallest doc_id; only (line-hash, packed-position) rows
+    shuffle."""
+    from html_parser_ray.functions.spandedup import remove_duplicate_lines
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicate_lines(
+        ds.map_batches(_c4_wrap, batch_format="pyarrow"))
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog distinct-count registers over a planted 137-value
     column — the mergeable approximate-count-distinct primitive.
@@ -1480,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_best": q_minhash_dedup_best,
         "split_assign": q_split_assign,
         "nation_lookup_outer": q_nation_lookup_outer,
+        "dedup_lines": q_dedup_lines,
         "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
@@ -2061,6 +2073,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE '' END AS reason FROM u) "
             "SELECT doc_id, CAST(reason <> '' AS BIGINT) AS blocked, "
             "reason FROM r"
+        ),
+        # dedup_lines: same planted pages; first occurrence per line
+        # text in (doc_id, line_idx) order, docs reassembled
+        "dedup_lines": (
+            _C4_CTE +
+            ", ln AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS li "
+            "FROM w), "
+            "r2 AS (SELECT doc_id, line, li, row_number() OVER ("
+            "PARTITION BY line ORDER BY doc_id, li) AS rn FROM ln), "
+            "agg2 AS (SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY li) "
+            "FILTER (rn = 1), '') AS text, "
+            "count(*) AS n_blocks, "
+            "count(*) FILTER (rn > 1) AS n_dropped FROM r2 GROUP BY 1) "
+            "SELECT doc_id, text, CAST(n_blocks AS BIGINT) AS n_blocks, "
+            "CAST(n_dropped AS BIGINT) AS n_dropped FROM agg2"
         ),
         # hll_registers: same 63-bit md5 hash; p=6 -> 57 low bits;
         # rank = first-1-bit position (1-based) = 58 - bitlength(low),

@@ -156,7 +156,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "hll_registers", "c4_clean", "url_blocklist",
                  "curate_pipeline", "customers_with_orders",
                  "customers_without_orders", "range_partition",
-                 "minhash_dedup_best", "split_assign", "nation_lookup_outer"]:
+                 "minhash_dedup_best", "split_assign", "nation_lookup_outer",
+                 "dedup_lines"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

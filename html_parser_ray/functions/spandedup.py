@@ -41,13 +41,20 @@ logger = logging.getLogger(__name__)
 BLOCK_LIMIT = 1 << 20   # max blocks per doc (2^20 blocks = ~21M words)
 
 
-def _blocks_of(text: str, window: int) -> list[str]:
+def _blocks_of(text: str, window: int, unit: str = "words") -> list[str]:
+    if unit == "lines":
+        # line-granular blocks (C4/RefinedWeb repeated-line removal):
+        # lines kept verbatim, newline is the delimiter
+        return text.split("\n") if text else []
     norm = normalize_text(text)
     if not norm:
         return []
     words = norm.split(" ")
     return [" ".join(words[i:i + window])
             for i in range(0, len(words), window)]
+
+
+_JOINER = {"words": " ", "lines": "\n"}
 
 
 def _pack(doc_id: int, block_idx: int) -> int:
@@ -76,18 +83,24 @@ def _dup_drops_block(group: pa.Table) -> pa.Table:
 
 def remove_duplicate_spans(ds, *, window: int = 20,
                            broadcast_limit: int = 20_000_000,
-                           num_partitions: int = 512):
+                           num_partitions: int = 512,
+                           unit: str = "words"):
     """Dataset[doc_id, text, ...] → Dataset[doc_id, text, n_blocks,
     n_dropped] with corpus-duplicate word-windows removed (first
-    occurrence kept). Extra input columns are passed through."""
+    occurrence kept). Extra input columns are passed through.
+    ``unit="lines"`` switches to line-granular blocks (the C4/RefinedWeb
+    repeated-line removal; ``window`` is ignored there)."""
     import ray
+
+    if unit not in _JOINER:
+        raise ValueError(f"unit must be one of {sorted(_JOINER)}")
 
     def explode_keys(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         bkeys, packeds = [], []
         for i, t in zip(ids, texts):
-            blocks = _blocks_of(t, window)
+            blocks = _blocks_of(t, window, unit)
             if len(blocks) > BLOCK_LIMIT:
                 # pathological giant doc (~21M+ words at window=20):
                 # blocks past the packing limit stay out of the dedup
@@ -122,7 +135,8 @@ def remove_duplicate_spans(ds, *, window: int = 20,
         logger.warning(
             "remove_duplicate_spans: %d drop ids (> %d); using "
             "partitioned marker anti-join", n_drop, broadcast_limit)
-        return _partitioned_rebuild(ds, drops_ds, window, num_partitions)
+        return _partitioned_rebuild(ds, drops_ds, window, num_partitions,
+                                    unit)
 
     drop_packed = np.sort(np.concatenate(
         [b.column("packed").to_numpy(zero_copy_only=False)
@@ -132,18 +146,18 @@ def remove_duplicate_spans(ds, *, window: int = 20,
 
     def rebuild(batch: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref)
-        return _rebuild_batch(batch, drops, window)
+        return _rebuild_batch(batch, drops, window, unit)
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
 
 def _rebuild_batch(batch: pa.Table, drop_packed: np.ndarray,
-                   window: int) -> pa.Table:
+                   window: int, unit: str = "words") -> pa.Table:
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     new_texts, n_blocks, n_dropped = [], [], []
     for i, t in zip(ids, texts):
-        blocks = _blocks_of(t, window)
+        blocks = _blocks_of(t, window, unit)
         # mirror explode_keys' truncation: blocks past BLOCK_LIMIT never
         # got keys, so they are never drop candidates (and their packed
         # ids would alias into the next doc's range).
@@ -155,7 +169,7 @@ def _rebuild_batch(batch: pa.Table, drop_packed: np.ndarray,
                              len(drop_packed) - 1)
             hit[:nb] = drop_packed[pos] == packed
         kept = [b for b, h in zip(blocks, hit) if not h]
-        new_texts.append(" ".join(kept))
+        new_texts.append(_JOINER[unit].join(kept))
         n_blocks.append(len(blocks))
         n_dropped.append(int(hit.sum()))
     out = {name: batch.column(name)
@@ -166,7 +180,8 @@ def _rebuild_batch(batch: pa.Table, drop_packed: np.ndarray,
     return pa.table(out)
 
 
-def _partitioned_rebuild(ds, drops_ds, window: int, num_partitions: int):
+def _partitioned_rebuild(ds, drops_ds, window: int, num_partitions: int,
+                         unit: str = "words"):
     """Fallback for drop sets too large to broadcast: co-shuffle docs and
     drop markers on hash(doc_id), rebuild per partition with the same
     vectorized membership mask."""
@@ -201,9 +216,21 @@ def _partitioned_rebuild(ds, drops_ds, window: int, num_partitions: int):
         drops = np.sort(markers.column("packed").to_numpy(
             zero_copy_only=False))
         docs = docs.drop_columns(["packed", "part"])
-        return _rebuild_batch(docs, drops, window)
+        return _rebuild_batch(docs, drops, window, unit)
 
     tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
     markers = drops_ds.map_batches(tag_markers, batch_format="pyarrow")
     return tagged.union(markers).groupby("part").map_groups(
         rebuild_part, batch_format="pyarrow")
+
+
+def remove_duplicate_lines(ds, *, broadcast_limit: int = 20_000_000,
+                           num_partitions: int = 512):
+    """Corpus-global repeated-LINE removal (C4 / RefinedWeb: a line that
+    occurs anywhere else in the corpus keeps only its first occurrence
+    in (doc_id, line_idx) order). Same key/shuffle/rebuild machinery as
+    the word-window path, line-granular blocks."""
+    return remove_duplicate_spans(ds, window=1,
+                                  broadcast_limit=broadcast_limit,
+                                  num_partitions=num_partitions,
+                                  unit="lines")

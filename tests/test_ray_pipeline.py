@@ -996,3 +996,31 @@ def test_split_assign_ratios_and_stability(ray_session):
     assert again == rows          # hash-stable across runs
     with pytest.raises(ValueError):
         split_assign(ds, permille=(900, 50, 40))
+
+
+def test_remove_duplicate_lines_first_keeper(ray_session):
+    import ray
+    from html_parser_ray.functions.spandedup import remove_duplicate_lines
+    shared = "copyright footer line"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"unique one\n{shared}\nalpha",
+            f"{shared}\nunique two",
+            f"beta\n{shared}",
+        ], pa.string()),
+    })
+    rows = {r["doc_id"]: r for r in remove_duplicate_lines(
+        ray.data.from_arrow(tbl)).take_all()}
+    # doc 1 (smallest id) keeps the shared line; 2 and 3 lose it
+    assert rows[1]["text"] == f"unique one\n{shared}\nalpha"
+    assert rows[2]["text"] == "unique two"
+    assert rows[3]["text"] == "beta"
+    assert rows[1]["n_dropped"] == 0
+    assert rows[2]["n_dropped"] == 1 and rows[2]["n_blocks"] == 2
+    assert rows[3]["n_dropped"] == 1
+    # forced partitioned fallback: identical result
+    rows_f = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(
+        ray.data.from_arrow(tbl), broadcast_limit=0,
+        num_partitions=4).take_all()}
+    assert rows_f == {i: rows[i]["text"] for i in (1, 2, 3)}
