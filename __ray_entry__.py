@@ -722,6 +722,16 @@ def q_lm_filter(sf_dir: str):
     return lm_score(ds).map_batches(keep, batch_format="pyarrow")
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram-conditional LM surprisal (integer-exact: first token at
+    unigram bits, later tokens at ilog2(cnt(prev)) − ilog2(cnt(prev,w)))
+    — the sharper CCNet-style quality signal; two count passes, both
+    broadcast tables."""
+    from html_parser_ray.functions.lmscore import bigram_lm_score
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_score(ds)
+
+
 def q_stratified_sample(sf_dir: str):
     from html_parser_ray.functions.sampling import stratified_sample
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -1492,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "nation_lookup_outer": q_nation_lookup_outer,
         "dedup_lines": q_dedup_lines,
+        "bigram_lm": q_bigram_lm,
         "customers_without_orders": q_customers_without_orders,
         "pii_redact": q_pii_redact,
         "url_canonical": q_url_canonical,
@@ -2253,6 +2264,43 @@ def oracle_sql() -> dict[str, str]:
             "(s.nll * 10000) // s.n_tokens ELSE 0 END, 0) AS BIGINT) "
             "AS mean_bits_bp "
             "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
+        # bigram_lm: positions via list_filter + generate_subscripts;
+        # conditional bits = GREATEST(0, ilog2(cnt1(prev)) -
+        # ilog2(cnt2(prev,w))), ilog2 = length(bin())-1
+        "bigram_lm": (
+            "WITH tt AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "t AS (SELECT doc_id, unnest(ts) AS tok, "
+            "generate_subscripts(ts, 1) AS i FROM tt), "
+            "c1 AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), "
+            "nt AS (SELECT length(bin(CAST(sum(cnt) AS BIGINT))) - 1 "
+            "AS logn FROM c1), "
+            "g2 AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 FROM t a "
+            "JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+            "c2 AS (SELECT w1, w2, count(*) AS cnt FROM g2 "
+            "GROUP BY 1, 2), "
+            "fst AS (SELECT doc_id, tok FROM t WHERE i = 1), "
+            "fb AS (SELECT f.doc_id, (SELECT logn FROM nt) - "
+            "(length(bin(c1.cnt)) - 1) AS bits FROM fst f "
+            "JOIN c1 ON c1.tok = f.tok), "
+            "bb AS (SELECT g2.doc_id, sum(GREATEST(0, "
+            "(length(bin(u.cnt)) - 1) - (length(bin(c2.cnt)) - 1))) "
+            "AS bits FROM g2 JOIN c1 u ON u.tok = g2.w1 "
+            "JOIN c2 ON c2.w1 = g2.w1 AND c2.w2 = g2.w2 GROUP BY 1), "
+            "ntok AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(ntok.n, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(fb.bits, 0) + COALESCE(bb.bits, 0) AS BIGINT) "
+            "AS nll_bits, "
+            "CAST(CASE WHEN COALESCE(ntok.n, 0) > 0 THEN "
+            "(COALESCE(fb.bits, 0) + COALESCE(bb.bits, 0)) * 10000 "
+            "// ntok.n ELSE 0 END AS BIGINT) AS mean_bits_bp "
+            "FROM documents d "
+            "LEFT JOIN ntok ON ntok.doc_id = d.doc_id "
+            "LEFT JOIN fb ON fb.doc_id = d.doc_id "
+            "LEFT JOIN bb ON bb.doc_id = d.doc_id"
         ),
         # grouped_topk: row_number over (value desc, id asc) = the Ray
         # side's pinned tie rule

@@ -157,7 +157,7 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "curate_pipeline", "customers_with_orders",
                  "customers_without_orders", "range_partition",
                  "minhash_dedup_best", "split_assign", "nation_lookup_outer",
-                 "dedup_lines"]:
+                 "dedup_lines", "bigram_lm"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

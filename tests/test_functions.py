@@ -978,3 +978,59 @@ def test_compression_ratio_orders_text_quality():
     # deterministic
     again = compression_ratio_batch(batch)
     assert again.column("compression_bp").to_pylist() == bp
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+
+def test_bigram_lm_tiny_corpus_exact(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import bigram_lm_score
+    # corpus: "a b" x3, "a c" x1 -> cnt1: a=4, b=3, c=1; N=8
+    # cnt2: (a,b)=3, (a,c)=1
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b", "a b", "a b", "a c"], pa.string()),
+    })
+    rows = {r["doc_id"]: r for r in bigram_lm_score(
+        ray.data.from_arrow(tbl)).take_all()}
+    # doc 0: first 'a' = ilog2(8)-ilog2(4) = 3-2 = 1;
+    #        'b'|'a' = ilog2(4)-ilog2(3) = 2-1 = 1 -> nll 2
+    assert rows[0]["nll_bits"] == 2 and rows[0]["n_tokens"] == 2
+    assert rows[0]["mean_bits_bp"] == 2 * 10_000 // 2
+    # doc 3: first 'a' = 1; 'c'|'a' = ilog2(4)-ilog2(1) = 2 -> nll 3
+    assert rows[3]["nll_bits"] == 3
+    # the rare continuation scores strictly higher than the common one
+    assert rows[3]["mean_bits_bp"] > rows[0]["mean_bits_bp"]
+
+
+def test_bigram_lm_word_salad_scores_higher_than_prose(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import bigram_lm_score, lm_score
+    prose = ["the cat sat on the mat"] * 8
+    salad = ["mat the on cat sat the"]       # same words, broken order
+    tbl = pa.table({
+        "doc_id": pa.array(range(9), pa.int64()),
+        "text": pa.array(prose + salad, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    bi = {r["doc_id"]: r["mean_bits_bp"]
+          for r in bigram_lm_score(ds).take_all()}
+    uni = {r["doc_id"]: r["mean_bits_bp"] for r in lm_score(ds).take_all()}
+    # unigram can't tell them apart (same bag of words)...
+    assert uni[8] == uni[0]
+    # ...the bigram-conditional score can
+    assert bi[8] > bi[0]
+
+
+def test_bigram_lm_empty_and_single_token(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import bigram_lm_score
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["", "solo", "solo solo"],
+                                     pa.string())})
+    rows = {r["doc_id"]: r for r in bigram_lm_score(
+        ray.data.from_arrow(tbl)).take_all()}
+    assert rows[0]["n_tokens"] == 0 and rows[0]["nll_bits"] == 0
+    assert rows[1]["n_tokens"] == 1          # first-token bits only
+    assert rows[2]["n_tokens"] == 2
