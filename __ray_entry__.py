@@ -821,6 +821,35 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitter_words(ds, k=10)
 
 
+def q_inverted_index(sf_dir: str):
+    """Term -> (exact df, capped ascending posting list): one distinct
+    (term, doc_id) pair pass + one partition-granular vectorized
+    segment reduction; postings cap keeps stop-word rows bounded."""
+    from html_parser_ray.functions.invindex import inverted_index
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds, postings_cap=16)
+
+
+def q_cms(sf_dir: str):
+    """Count-min sketch registers of corpus word frequencies: per-batch
+    partials bounded by depth x width, merged by one small groupby-sum.
+    Registers are exact integers (md5-cell hashing on both sides), so
+    they value-oracle; the min-over-rows point estimate is library-side
+    (cms_estimate, pytest-bounded)."""
+    from html_parser_ray.functions.sketches import cms_table
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cms_table(ds, width=1024, depth=4)
+
+
+def q_bloom(sf_dir: str):
+    """Bloom-filter registers over document text values (the membership
+    prefilter for incremental dedup): 63-bit int64 words merged by a
+    custom bitwise-OR AggregateFn; bit layout md5-exact on both sides."""
+    from html_parser_ray.functions.sketches import bloom_build
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bloom_build(ds, column="text", n_words=256, k=4)
+
+
 def q_quantiles(sf_dir: str):
     """Exact n_chars quantiles via the distributed value histogram;
     rank rule pinned to DuckDB quantile_disc (max(1, ceil(q*n))) in
@@ -1514,6 +1543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": q_warc_extract,
         "dedup_spans": q_dedup_spans,
         "heavy_hitters": q_heavy_hitters,
+        "inverted_index": q_inverted_index,
+        "cms_registers": q_cms,
+        "bloom_registers": q_bloom,
         "quantiles": q_quantiles,
         "top_terms": q_top_terms,
         "simhash": q_simhash,
@@ -2374,6 +2406,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok AS word, CAST(count(*) AS BIGINT) AS count "
             "FROM toks GROUP BY 1 "
             "ORDER BY count DESC, word ASC LIMIT 10"
+        ),
+        # inverted_index: exact df + postings capped at the 16 smallest
+        # doc_ids (string_agg skips the NULLed rows past the cap)
+        "inverted_index": (
+            "WITH tt AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "t AS (SELECT DISTINCT doc_id, unnest(ts) AS term FROM tt), "
+            "r AS (SELECT term, doc_id, row_number() OVER ("
+            "PARTITION BY term ORDER BY doc_id) AS rn FROM t) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CASE WHEN rn <= 16 THEN "
+            "CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) "
+            "AS postings FROM r GROUP BY 1"
+        ),
+        # cms_registers: cell = md5_number_lower(d:tok) % width — the
+        # Ray side's _md5_low64 (lower 8 md5 bytes little-endian)
+        "cms_registers": (
+            "WITH tt AS (SELECT list_filter(string_split_regex("
+            "lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "t AS (SELECT unnest(ts) AS tok FROM tt), "
+            "c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1), "
+            "dd AS (SELECT unnest([0, 1, 2, 3]) AS d), "
+            "cells AS (SELECT dd.d, CAST(md5_number_lower("
+            "concat(dd.d, ':', c.tok)) % 1024 AS BIGINT) AS cell, "
+            "c.cnt FROM c CROSS JOIN dd) "
+            "SELECT CAST(d AS BIGINT) AS d, cell, "
+            "CAST(sum(cnt) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2"
+        ),
+        # bloom_registers: 63 usable bits per int64 word (bit 63 never
+        # set, registers stay positive) — shift stays in BIGINT range
+        "bloom_registers": (
+            "WITH ks AS (SELECT DISTINCT text FROM documents), "
+            "j AS (SELECT unnest([0, 1, 2, 3]) AS j), "
+            "h AS (SELECT CAST(md5_number_lower(concat(j.j, ':', "
+            "ks.text)) % (256 * 63) AS BIGINT) AS h "
+            "FROM ks CROSS JOIN j) "
+            "SELECT CAST(h // 63 AS BIGINT) AS word_idx, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) "
+            "AS bits FROM h GROUP BY 1"
         ),
         # quantiles: rank = max(1, ceil(q_bp*n/10000)) in pure integer
         # arithmetic on both sides (no float quantile call — DuckDB's

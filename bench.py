@@ -157,7 +157,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "curate_pipeline", "customers_with_orders",
                  "customers_without_orders", "range_partition",
                  "minhash_dedup_best", "split_assign", "nation_lookup_outer",
-                 "dedup_lines", "bigram_lm"]:
+                 "dedup_lines", "bigram_lm", "inverted_index",
+                 "cms_registers", "bloom_registers"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

@@ -251,3 +251,124 @@ def range_partition(ds, col: str, n_buckets: int):
             "bucket", pa.array(bucket.astype(np.int64), pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+
+def _md5_low64(s: str) -> int:
+    import hashlib
+    import struct
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+
+
+def cms_table(ds, *, width: int = 1024, depth: int = 4):
+    """Dataset[..., text] → Dataset(d, cell, cnt): a count-min sketch of
+    the corpus word frequencies as mergeable integer registers.
+
+    Scale shape: per batch, token counts collapse into at most
+    ``depth × width`` (row, cell, partial-count) entries — bounded by the
+    sketch size, independent of batch rows — then ONE small
+    ``groupby(d, cell).sum`` merges partials (counter matrices merge by
+    addition, the mergeable-summaries property). Row d's hash is
+    md5_low64(f"{d}:{tok}") % width = DuckDB
+    ``md5_number_lower(concat(d,':',tok)) % width`` — integer-exact and
+    SQL-oracle-able. Point estimate = min over rows (see cms_estimate):
+    always an OVERestimate, error ≤ N·e/width with prob 1−e^-depth.
+
+    Use at 100 TB: approximate per-token frequency without materializing
+    the Zipf-tail vocabulary (the exact token_counts_table's weakness);
+    4×1024 int64 cells vs billions of (word, cnt) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in _tokens_of(text):
+                counts[tok] = counts.get(tok, 0) + 1
+        cells: dict[tuple[int, int], int] = {}
+        for tok, c in counts.items():
+            for d in range(depth):
+                cell = _md5_low64(f"{d}:{tok}") % width
+                cells[(d, cell)] = cells.get((d, cell), 0) + c
+        return pa.table({
+            "d": pa.array([k[0] for k in cells], pa.int64()),
+            "cell": pa.array([k[1] for k in cells], pa.int64()),
+            "cnt": pa.array(list(cells.values()), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["d", "cell"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def cms_estimate(cms_rows: pa.Table, word: str, *, width: int = 1024,
+                 depth: int = 4) -> int:
+    """Point-query the sketch produced by cms_table: min over the word's
+    depth cells (0 if any cell is absent = true count 0 guaranteed).
+    Driver-side finish over the bounded register table."""
+    reg = {(d, c): n for d, c, n in zip(
+        cms_rows.column("d").to_pylist(),
+        cms_rows.column("cell").to_pylist(),
+        cms_rows.column("cnt").to_pylist())}
+    return min(reg.get((d, _md5_low64(f"{d}:{word}") % width), 0)
+               for d in range(depth))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) as mergeable bit registers
+
+def _bloom_positions(key: str, *, n_words: int, k: int) -> list[int]:
+    m = n_words * 63
+    return [_md5_low64(f"{j}:{key}") % m for j in range(k)]
+
+
+def bloom_build(ds, *, column: str = "text", n_words: int = 256,
+                k: int = 4):
+    """Dataset[..., column] → Dataset(word_idx, bits): a Bloom filter
+    over the column's values as mergeable int64 bit registers
+    (63 usable bits per word so every register stays positive int64 —
+    same convention as the 63-bit md5 keys elsewhere in this repo).
+
+    Scale shape: per batch, at most ``n_words`` (word_idx, partial-bits)
+    rows leave — bounded by the filter size — and a ``groupby(word_idx)``
+    with a custom bitwise-OR AggregateFn merges them (Bloom filters merge
+    by OR). Membership never false-negative; false-positive rate ≈
+    (1 − e^{−k·n/m})^k, pytest-bounded.
+
+    Use at 100 TB: the membership prefilter for delta/incremental dedup —
+    the existing corpus's content hashes compress to m bits shipped to
+    every ingest worker; only candidate hits pay the exact marker
+    co-shuffle (delta_exact_dedup).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.int64)
+        for v in batch.column(column).to_pylist():
+            for h in _bloom_positions(str(v), n_words=n_words, k=k):
+                words[h // 63] |= np.int64(1) << np.int64(h % 63)
+        nz = np.nonzero(words)[0]
+        return pa.table({"word_idx": pa.array(nz.astype(np.int64)),
+                         "bits": pa.array(words[nz])})
+
+    bit_or = AggregateFn(
+        init=lambda key: 0,
+        merge=lambda a, b: a | b,
+        accumulate_block=lambda acc, block: acc | int(
+            np.bitwise_or.reduce(
+                block.column("bits").to_numpy(zero_copy_only=False),
+                initial=np.int64(0))),
+        name="bits",
+    )
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word_idx").aggregate(bit_or))
+
+
+def bloom_might_contain(registers: pa.Table, key: str, *,
+                        n_words: int = 256, k: int = 4) -> bool:
+    """Driver-side membership probe of bloom_build's register table."""
+    reg = dict(zip(registers.column("word_idx").to_pylist(),
+                   registers.column("bits").to_pylist()))
+    return all(reg.get(h // 63, 0) >> (h % 63) & 1
+               for h in _bloom_positions(key, n_words=n_words, k=k))

@@ -1034,3 +1034,124 @@ def test_bigram_lm_empty_and_single_token(ray_session):
     assert rows[0]["n_tokens"] == 0 and rows[0]["nll_bits"] == 0
     assert rows[1]["n_tokens"] == 1          # first-token bits only
     assert rows[2]["n_tokens"] == 2
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+
+def test_inverted_index_df_and_cap(ray_session):
+    import ray
+    from html_parser_ray.functions.invindex import inverted_index
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": pa.array(["the cat", "the dog", "the cat cat", ""],
+                         pa.string()),
+    })
+    rows = {r["term"]: r for r in inverted_index(
+        ray.data.from_arrow(tbl), postings_cap=2).take_all()}
+    # df counts DOCUMENTS (cat appears twice in doc 2 but df=2)
+    assert rows["cat"]["df"] == 2 and rows["cat"]["postings"] == "2,3"
+    # cap: 'the' is in docs 1,2,3 -> df exact, postings truncated to 2
+    assert rows["the"]["df"] == 3 and rows["the"]["postings"] == "1,2"
+    assert rows["dog"]["postings"] == "1"
+    # empty doc contributes no terms
+    assert all("4" not in r["postings"] for r in rows.values())
+
+
+def test_inverted_index_partition_invariance(ray_session):
+    import ray
+    from html_parser_ray.functions.invindex import inverted_index
+    tbl = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"w{i % 7} shared tail{i % 3}" for i in range(20)],
+                         pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    a = sorted((r["term"], r["df"], r["postings"])
+               for r in inverted_index(ds, num_partitions=2).take_all())
+    b = sorted((r["term"], r["df"], r["postings"])
+               for r in inverted_index(ds, num_partitions=17).take_all())
+    assert a == b
+    shared = [x for x in a if x[0] == "shared"][0]
+    assert shared[1] == 20
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+def test_cms_overestimates_and_is_exact_without_collisions(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import cms_table, cms_estimate
+    texts = ["apple apple banana", "apple cherry", "banana"] * 5
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    reg = pa.Table.from_pylist(
+        cms_table(ray.data.from_arrow(tbl), width=2048, depth=4).take_all())
+    true = {"apple": 15, "banana": 10, "cherry": 5}
+    for w, t in true.items():
+        est = cms_estimate(reg, w, width=2048, depth=4)
+        assert est >= t                       # never underestimates
+        assert est == t                       # 3 words in 2048 cells: exact
+    assert cms_estimate(reg, "durian", width=2048, depth=4) == 0
+
+
+def test_cms_registers_merge_by_addition(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import cms_table
+    t1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["x y x"], pa.string())})
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["y z"], pa.string())})
+    whole = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["x y x", "y z"], pa.string())})
+
+    def regmap(tbl):
+        rows = cms_table(ray.data.from_arrow(tbl), width=64,
+                         depth=2).take_all()
+        return {(r["d"], r["cell"]): r["cnt"] for r in rows}
+
+    merged: dict = {}
+    for part in (regmap(t1), regmap(t2)):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == regmap(whole)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import (bloom_build,
+                                                    bloom_might_contain)
+    keys = [f"key-{i}" for i in range(200)]
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(keys, pa.string())})
+    reg = pa.Table.from_pylist(
+        bloom_build(ray.data.from_arrow(tbl), column="text",
+                    n_words=256, k=4).take_all())
+    assert all(bloom_might_contain(reg, k) for k in keys)
+    # m=256*63=16128 bits, n=200, k=4 -> theoretical fp ~ 2e-7;
+    # allow a generous margin on 1000 probes
+    fp = sum(bloom_might_contain(reg, f"absent-{i}") for i in range(1000))
+    assert fp <= 2
+    # registers stay positive int64 (63-bit convention)
+    assert all(r["bits"] > 0 for r in reg.to_pylist())
+
+
+def test_bloom_registers_merge_by_or(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import bloom_build
+
+    def regmap(vals):
+        tbl = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                        "text": pa.array(vals, pa.string())})
+        rows = bloom_build(ray.data.from_arrow(tbl), column="text",
+                           n_words=16, k=3).take_all()
+        return {r["word_idx"]: r["bits"] for r in rows}
+
+    a, b = regmap(["p", "q"]), regmap(["r"])
+    merged: dict = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) | v
+    assert merged == regmap(["p", "q", "r"])
