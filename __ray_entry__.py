@@ -850,6 +850,90 @@ def q_bloom(sf_dir: str):
     return bloom_build(ds, column="text", n_words=256, k=4)
 
 
+def q_group_balance(sf_dir: str):
+    """Language-rebalanced corpus: every lang thinned to ~the smallest
+    lang's size by an integer-exact hash-rate rule (mn*10000 // cnt).
+    Counts pass = in-batch combiner + tiny groupby-sum (one row per
+    lang to the driver, bounded by design); keep pass = stateless
+    per-row hash filter, payload never shuffles."""
+    from html_parser_ray.functions.sampling import group_balance
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return group_balance(ds, group_col="lang")
+
+
+def q_hll_by_group(sf_dir: str):
+    """Per-language HyperLogLog register tables (approximate distinct
+    values per group without the exact (group, value) shuffle): partial
+    max per (lang, reg) per batch, global groupby-max over register
+    rows only. Registers integer-exact -> value-oracled; estimates are
+    library-side (hll_estimate per group, pytest-bounded)."""
+    from html_parser_ray.functions.sketches import hll_registers_by_group
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "lang": batch.column("lang"),
+            "val": pa.array([f"v-{i % 137}" for i in ids], pa.string()),
+        })
+
+    return hll_registers_by_group(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        group_col="lang", col="val", p=6)
+
+
+def _jsonl_corpus(sf_dir: str) -> str:
+    """Deterministic JSONL rendering of the documents table (8 shards by
+    doc_id%8, even shards plain / odd shards gzip), cached under /tmp
+    with a content-keyed _DONE marker. Test scaffolding for the
+    jsonl_roundtrip query — the PRODUCT path is sources/jsonl.read_jsonl
+    over real dumps."""
+    import gzip
+    import hashlib
+    import json
+    import os
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src)
+    out_dir = os.path.join("/tmp/graft_jsonl",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    done = os.path.join(out_dir, "_DONE")
+    with open(src, "rb") as f:
+        marker = hashlib.sha256(f.read()).hexdigest()
+    if os.path.exists(done) and open(done).read() == marker:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = t.to_pylist()
+    shards: list[list[str]] = [[] for _ in range(8)]
+    for r in rows:
+        shards[r["doc_id"] % 8].append(
+            json.dumps(r, ensure_ascii=False, sort_keys=True))
+    for s, lines in enumerate(shards):
+        data = ("\n".join(lines) + "\n").encode("utf-8")
+        if s % 2 == 1:
+            with gzip.open(os.path.join(out_dir, f"s{s}.jsonl.gz"),
+                           "wb") as f:
+                f.write(data)
+        else:
+            with open(os.path.join(out_dir, f"s{s}.jsonl"), "wb") as f:
+                f.write(data)
+    with open(done, "w") as f:
+        f.write(marker)
+    return out_dir
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source round-trip: read the rendered ndjson shards (plain +
+    gzip) with sources/jsonl.read_jsonl under a pinned schema — identity
+    oracle against the documents table (same pattern as warc_extract)."""
+    from html_parser_ray.sources.jsonl import read_jsonl
+
+    return read_jsonl(_jsonl_corpus(sf_dir), schema={
+        "doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+        "source": pa.string(), "n_chars": pa.int64()})
+
+
 def q_quantiles(sf_dir: str):
     """Exact n_chars quantiles via the distributed value histogram;
     rank rule pinned to DuckDB quantile_disc (max(1, ceil(q*n))) in
@@ -1546,6 +1630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "cms_registers": q_cms,
         "bloom_registers": q_bloom,
+        "group_balance": q_group_balance,
+        "hll_by_group": q_hll_by_group,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantiles": q_quantiles,
         "top_terms": q_top_terms,
         "simhash": q_simhash,
@@ -2447,6 +2534,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(h // 63 AS BIGINT) AS word_idx, "
             "bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) "
             "AS bits FROM h GROUP BY 1"
+        ),
+        # group_balance: keep iff hashed-id permyriad < mn*10000 // cnt
+        # (integer division on both sides; same 63-bit masked md5 as
+        # split_assign)
+        "group_balance": (
+            "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "
+            "GROUP BY 1), m AS (SELECT min(cnt) AS mn FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d, c, m "
+            "WHERE d.lang = c.lang AND "
+            "CAST((md5_number_lower(concat(d.doc_id, ':balance')) "
+            "% 9223372036854775808) % 10000 AS BIGINT) "
+            "< (m.mn * 10000) // c.cnt"
+        ),
+        # hll_by_group: hll_registers' rank rule with a lang key
+        "hll_by_group": (
+            "WITH v AS (SELECT lang, 'v-' || CAST(doc_id % 137 AS "
+            "VARCHAR) AS val FROM documents), "
+            "h AS (SELECT lang, CAST(md5_number_lower(val) "
+            "% 9223372036854775808 AS BIGINT) AS h63 FROM v), "
+            "r AS (SELECT lang, h63 // 144115188075855872 AS reg, "
+            "h63 % 144115188075855872 AS low FROM h), "
+            "k AS (SELECT lang, reg, CASE WHEN low > 0 THEN "
+            "57 - (length(bin(CAST(low AS BIGINT))) - 1) "
+            "ELSE 58 END AS rank FROM r) "
+            "SELECT lang, CAST(reg AS BIGINT) AS reg, "
+            "CAST(max(rank) AS BIGINT) AS max_rank FROM k "
+            "GROUP BY 1, 2"
+        ),
+        # jsonl_roundtrip: identity over the rendered shards
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # quantiles: rank = max(1, ceil(q_bp*n/10000)) in pure integer
         # arithmetic on both sides (no float quantile call — DuckDB's

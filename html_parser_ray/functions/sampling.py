@@ -112,6 +112,69 @@ def write_training_shards(ds, out_dir: str, *, n_shards: int = 64,
         out_dir, partition_cols=["shard"])
 
 
+def _partial_group_counts(batch: pa.Table, group_col: str) -> pa.Table:
+    """In-batch combiner: (group, partial count) — at most one row per
+    group present in the batch leaves the task."""
+    if batch.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    groups = np.array(batch.column(group_col).to_pylist(), dtype=object)
+    uniq, cnt = np.unique(groups, return_counts=True)
+    return pa.table({group_col: pa.array(list(uniq), pa.string()),
+                     "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def group_balance(ds, *, group_col: str, id_col: str = "doc_id",
+                  rate_scale: int = 10000, salt: str = "balance"):
+    """Downsample every group to ~the smallest group's size — the
+    domain/language REBALANCING step of training-data curation (a
+    web crawl is 10^3× skewed toward English/big hosts; training mixes
+    want controlled proportions).
+
+    Rule (integer-exact, hash-deterministic): with cnt[g] the exact
+    group sizes and mn = min(cnt), keep a row iff
+    ``md5_63(f"{id}:{salt}") % rate_scale  <  mn * rate_scale // cnt[g]``
+    — the smallest group's rate is exactly ``rate_scale`` (kept whole),
+    every other group is thinned to ≈mn rows. Re-runs and incremental
+    ingests keep each doc's fate (never Dataset.random_sample).
+
+    Scale shape: pass 1 counts groups with an in-batch combiner (one row
+    per group per batch) + one tiny groupby-sum; the counts table is
+    ONE ROW PER GROUP — this operator is for low-cardinality groups
+    (languages, sources, domains buckets), so collecting it to the
+    driver and ray.put-ing the rate dict is bounded by design. Pass 2 is
+    a stateless per-row hash filter — no shuffle, payload never moves.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(
+        lambda b: _partial_group_counts(b, group_col),
+        batch_format="pyarrow")
+        .groupby(group_col).aggregate(Sum("n", alias_name="n"))
+        .take_all())
+    if not counts:
+        return ds
+    cnt = {r[group_col]: int(r["n"]) for r in counts}
+    mn = min(cnt.values())
+    rates = {g: mn * rate_scale // c for g, c in cnt.items()}
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        r = ray.get(rates_ref)
+        ids = batch.column(id_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        h = (np.array([_md5_low64_str(f"{i}:{salt}") for i in ids],
+                      dtype=np.uint64) & np.uint64((1 << 63) - 1)) \
+            % np.uint64(rate_scale)
+        thr = np.array([r.get(g, 0) for g in groups], dtype=np.uint64)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_assign_batch(batch: pa.Table, *, permille: tuple[int, int, int]
                        = (980, 10, 10), salt: str = "split",
                        id_col: str = "doc_id") -> pa.Table:

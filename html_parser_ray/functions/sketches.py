@@ -205,6 +205,55 @@ def hll_registers(ds, col: str, p: int = 6):
             .groupby("reg").aggregate(Max("rank", alias_name="max_rank")))
 
 
+def hll_registers_by_group(ds, *, group_col: str, col: str, p: int = 6):
+    """Dataset[..., group, col] → Dataset[(group, reg, max_rank)]: one
+    HyperLogLog register table PER GROUP — approximate distinct-count
+    grouped by a key (distinct urls per host, distinct fingerprints per
+    language) without the exact ``groupby(group, value)`` shuffle.
+
+    Scale shape: the per-batch partial emits at most
+    ``groups-in-batch × 2^p`` rows (partial max per (group, reg) via one
+    lexsort segment reduction — no per-group Python), and the global
+    combine is ``groupby([group, reg]).max(rank)`` over register rows
+    only; the value column never shuffles. Finish per group with
+    hll_estimate over its ≤2^p rows. Registers are exact integers —
+    same 63-bit md5 rank rule as hll_registers, SQL-oracle-able.
+    """
+    from ray.data.aggregate import Max
+
+    low_bits = 63 - p
+    low_mask = (1 << low_bits) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        groups = np.array(batch.column(group_col).to_pylist(),
+                          dtype=object)
+        h = _hll_hash63(batch.column(col).to_pylist())
+        reg = (h >> low_bits).astype(np.int64)
+        low = h & low_mask
+        ilog2 = np.zeros(len(low), dtype=np.int64)
+        nz = low > 0
+        ilog2[nz] = np.floor(np.log2(low[nz])).astype(np.int64)
+        ilog2[nz] += (low[nz] >> (ilog2[nz] + 1)) > 0
+        ilog2[nz] -= (low[nz] >> ilog2[nz]) == 0
+        rank = np.where(nz, low_bits - ilog2, low_bits + 1).astype(np.int64)
+        # partial max per (group, reg): lexsort + first-of-segment mask
+        order = np.lexsort((-rank, reg, groups))
+        g_s, reg_s, rank_s = groups[order], reg[order], rank[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (g_s[1:] != g_s[:-1]) | (reg_s[1:] != reg_s[:-1])
+        return pa.table({group_col: pa.array(list(g_s[first]), pa.string()),
+                         "reg": pa.array(reg_s[first], pa.int64()),
+                         "rank": pa.array(rank_s[first], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "reg"])
+            .aggregate(Max("rank", alias_name="max_rank")))
+
+
 def hll_estimate(registers: pa.Table, p: int = 6) -> float:
     """Standard HLL estimate with small/large-range corrections from a
     (reg, max_rank) register table (absent registers count as rank 0).

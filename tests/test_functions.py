@@ -1155,3 +1155,139 @@ def test_bloom_registers_merge_by_or(ray_session):
     for k, v in b.items():
         merged[k] = merged.get(k, 0) | v
     assert merged == regmap(["p", "q", "r"])
+
+
+# ---------------------------------------------------------------------------
+# group-balanced downsampling
+
+def test_group_balance_thins_to_smallest_group(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import group_balance
+    # skew: 1000 'en', 200 'fr', 50 'de'
+    langs = ["en"] * 1000 + ["fr"] * 200 + ["de"] * 50
+    tbl = pa.table({"doc_id": pa.array(range(len(langs)), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    out = group_balance(ray.data.from_arrow(tbl),
+                        group_col="lang").take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    # smallest group's rate is exactly rate_scale -> kept whole
+    assert len(by["de"]) == 50
+    # others thinned to ~50 (hash-rate is binomial around mn)
+    assert 20 <= len(by["en"]) <= 90
+    assert 20 <= len(by["fr"]) <= 90
+
+
+def test_group_balance_deterministic_and_partition_invariant(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import group_balance
+    langs = (["en"] * 300 + ["fr"] * 60)
+    tbl = pa.table({"doc_id": pa.array(range(len(langs)), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        return sorted((r["lang"], r["doc_id"])
+                      for r in group_balance(ds, group_col="lang")
+                      .take_all())
+
+    assert run(1) == run(7)                   # partitioning-invariant
+    # a doc's fate is a pure function of (id, salt, group rates):
+    # rerunning yields the identical subset
+    assert run(3) == run(3)
+
+
+def test_group_balance_matches_bruteforce_rule(ray_session):
+    import ray
+    from html_parser_ray.functions.sampling import (_md5_low64_str,
+                                                    group_balance)
+    langs = ["a"] * 40 + ["b"] * 10
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    rates = {"a": 10 * 10000 // 40, "b": 10000}
+    want = sorted(
+        (langs[i], i) for i in range(50)
+        if (_md5_low64_str(f"{i}:balance") & ((1 << 63) - 1)) % 10000
+        < rates[langs[i]])
+    got = sorted((r["lang"], r["doc_id"]) for r in group_balance(
+        ray.data.from_arrow(tbl), group_col="lang").take_all())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+
+def test_hll_by_group_equals_per_group_hll(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import (hll_registers,
+                                                    hll_registers_by_group)
+    vals_a = [f"x-{i % 31}" for i in range(300)]
+    vals_b = [f"y-{i % 97}" for i in range(300)]
+    tbl = pa.table({
+        "g": pa.array(["a"] * 300 + ["b"] * 300, pa.string()),
+        "val": pa.array(vals_a + vals_b, pa.string()),
+    })
+    grouped = hll_registers_by_group(
+        ray.data.from_arrow(tbl), group_col="g", col="val", p=6).take_all()
+    got = {}
+    for r in grouped:
+        got.setdefault(r["g"], {})[r["reg"]] = r["max_rank"]
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        solo = {r["reg"]: r["max_rank"] for r in hll_registers(
+            ray.data.from_arrow(pa.table({"val": pa.array(vals)})),
+            "val", p=6).take_all()}
+        assert got[g] == solo
+
+
+def test_hll_by_group_estimates_per_group(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import (hll_estimate,
+                                                    hll_registers_by_group)
+    tbl = pa.table({
+        "g": pa.array(["a"] * 500 + ["b"] * 500, pa.string()),
+        "val": pa.array([f"u-{i % 40}" for i in range(500)]
+                        + [f"w-{i}" for i in range(500)], pa.string()),
+    })
+    rows = hll_registers_by_group(
+        ray.data.from_arrow(tbl), group_col="g", col="val", p=6).take_all()
+    per = {}
+    for r in rows:
+        per.setdefault(r["g"], []).append(r)
+    for g, true_n in (("a", 40), ("b", 500)):
+        reg = pa.Table.from_pylist(
+            [{"reg": r["reg"], "max_rank": r["max_rank"]} for r in per[g]])
+        est = hll_estimate(reg, p=6)
+        assert abs(est - true_n) / true_n < 0.35   # p=6 -> ~13% rse
+
+
+# ---------------------------------------------------------------------------
+# JSONL source
+
+def test_read_jsonl_pins_schema_and_reads_gzip(ray_session, tmp_path):
+    import gzip
+    import json
+    from html_parser_ray.sources.jsonl import read_jsonl
+    rows = [{"doc_id": 1, "text": "hello\nworld", "n": 5},
+            {"doc_id": 2, "text": "héllo   sep", "n": 7}]
+    with open(tmp_path / "a.jsonl", "w") as f:
+        f.write(json.dumps(rows[0], ensure_ascii=False) + "\n")
+    with gzip.open(tmp_path / "b.jsonl.gz", "wt") as f:
+        f.write(json.dumps(rows[1], ensure_ascii=False) + "\n")
+    out = sorted(read_jsonl(str(tmp_path), schema={
+        "doc_id": pa.int64(), "text": pa.string()}).take_all(),
+        key=lambda r: r["doc_id"])
+    # schema pinned: the extra 'n' column is dropped, types exact
+    assert out == [{"doc_id": 1, "text": "hello\nworld"},
+                   {"doc_id": 2, "text": "héllo   sep"}]
+
+
+def test_read_jsonl_type_drift_fails_loudly(ray_session, tmp_path):
+    import json
+    import pytest
+    from html_parser_ray.sources.jsonl import read_jsonl
+    with open(tmp_path / "bad.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1.5, "text": "x"}) + "\n")
+    with pytest.raises(Exception):
+        read_jsonl(str(tmp_path), schema={
+            "doc_id": pa.int64(), "text": pa.string()}).take_all()
