@@ -934,6 +934,49 @@ def q_jsonl_roundtrip(sf_dir: str):
         "source": pa.string(), "n_chars": pa.int64()})
 
 
+def q_global_rank(sf_dir: str):
+    """Exact corpus-wide rank by (n_chars, doc_id) — the 'take the N
+    best' primitive — via a value histogram (one row per distinct
+    length) + one bucket-keyed shuffle of (id, value) pairs and a
+    vectorized segment reduction per value bucket. No global sort, no
+    driver materialization, payload never moves."""
+    from html_parser_ray.functions.ranking import global_rank
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, col="n_chars")
+
+
+def q_distinct_by_lang(sf_dir: str):
+    """Exact per-language distinct-document count (the precise
+    counterpart of hll_by_group): in-batch distinct (lang, md5) pairs ->
+    global pair groupby -> tiny per-group sum. Only 32-byte keys
+    shuffle."""
+    from html_parser_ray.functions.sketches import distinct_count_by_group
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return distinct_count_by_group(ds, group_col="lang", col="text")
+
+
+def q_delta_dedup_bloom(sf_dir: str):
+    """delta_dedup through the Bloom-prefiltered path: existing corpus
+    compresses to broadcast bit registers; definitely-new rows skip the
+    existing-marker co-shuffle, Bloom positives take the exact path.
+    Result is bit-identical to delta_dedup (same oracle)."""
+    from html_parser_ray.functions.dedup import delta_exact_dedup_bloom
+    n = _doc_count(sf_dir)
+    h = n // 2
+    ds = (_read(sf_dir, "documents", columns=["doc_id"])
+          .map_batches(lambda b: _delta_wrap(b, n),
+                       batch_format="pyarrow"))
+
+    def split(batch: pa.Table, old: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids < h if old else ids >= h))
+
+    existing = ds.map_batches(lambda b: split(b, True),
+                              batch_format="pyarrow")
+    new = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    return delta_exact_dedup_bloom(new, existing)
+
+
 def q_quantiles(sf_dir: str):
     """Exact n_chars quantiles via the distributed value histogram;
     rank rule pinned to DuckDB quantile_disc (max(1, ceil(q*n))) in
@@ -1633,6 +1676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_balance": q_group_balance,
         "hll_by_group": q_hll_by_group,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "global_rank": q_global_rank,
+        "distinct_by_lang": q_distinct_by_lang,
+        "delta_dedup_bloom": q_delta_dedup_bloom,
         "quantiles": q_quantiles,
         "top_terms": q_top_terms,
         "simhash": q_simhash,
@@ -1760,7 +1806,7 @@ def _pagerank_sql(iters: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     vec = _vec_literal()
-    return {
+    sqls = {
         "extract_visible_text": (
             f"SELECT doc_id, {_TEXT_OUT_SQL} AS text_out FROM documents"
         ),
@@ -2566,6 +2612,16 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        # global_rank: exact 0-based (n_chars, doc_id) order position
+        "global_rank": (
+            "SELECT doc_id, n_chars, CAST(row_number() OVER "
+            "(ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank "
+            "FROM documents"
+        ),
+        "distinct_by_lang": (
+            "SELECT lang, CAST(count(DISTINCT text) AS BIGINT) "
+            "AS n_distinct FROM documents GROUP BY 1"
+        ),
         # quantiles: rank = max(1, ceil(q_bp*n/10000)) in pure integer
         # arithmetic on both sides (no float quantile call — DuckDB's
         # quantile_disc agrees, probed at n up to 50k, but the integer
@@ -2749,3 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         # md5-based token hash (md5_number_lower in DuckDB), so every one
         # of the 36 queries has a value-checked SQL oracle
     }
+    # the Bloom-prefiltered delta path is output-identical to the plain
+    # delta path by construction — one oracle, two engine strategies
+    sqls["delta_dedup_bloom"] = sqls["delta_dedup"]
+    return sqls

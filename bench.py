@@ -159,7 +159,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "minhash_dedup_best", "split_assign", "nation_lookup_outer",
                  "dedup_lines", "bigram_lm", "inverted_index",
                  "cms_registers", "bloom_registers", "group_balance",
-                 "hll_by_group", "jsonl_roundtrip"]:
+                 "hll_by_group", "jsonl_roundtrip", "global_rank",
+                 "distinct_by_lang", "delta_dedup_bloom"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)

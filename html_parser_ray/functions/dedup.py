@@ -899,6 +899,71 @@ def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
                        num_partitions=num_partitions)
 
 
+def delta_exact_dedup_bloom(new_ds, existing_ds, *,
+                            registers: "pa.Table | None" = None,
+                            id_col: str = "doc_id", n_words: int = 4_096,
+                            k: int = 4, broadcast_limit: int = 20_000_000,
+                            num_partitions: int = 4_096):
+    """delta_exact_dedup with a Bloom-filter prefilter: EXACT result
+    (identical keep set), but only rows whose text MIGHT be in the
+    existing corpus pay the existing-marker co-shuffle.
+
+    Why at 100 TB: a healthy crawl batch is mostly genuinely-new pages.
+    The plain delta path co-shuffles one marker row per EXISTING
+    document on every ingest; here the existing corpus compresses to
+    ``n_words`` int64 registers (mergeable across shards/days — build
+    once at ingest, pass via ``registers``), broadcast to every worker,
+    and the definitely-new rows (no false negatives) skip the existing
+    side entirely — they only pay the within-batch first-occurrence
+    reduction. Bloom false positives just take the exact path, so the
+    output is bit-identical to delta_exact_dedup.
+
+    Two identical texts always get the same Bloom verdict, so per-side
+    first-occurrence == global first-occurrence and the split is safe.
+    """
+    import ray
+    from .sketches import _bloom_positions, bloom_build
+
+    # registers= skips REBUILDING the filter (it is mergeable and built
+    # once at ingest); existing_ds is still required — Bloom positives
+    # must be confirmed against the exact existing markers
+    if registers is None:
+        registers = pa.Table.from_pylist(
+            bloom_build(existing_ds, column="text", n_words=n_words,
+                        k=k).take_all())
+    bits = np.zeros(n_words, dtype=np.int64)
+    idx = registers.column("word_idx").to_numpy(zero_copy_only=False)
+    val = registers.column("bits").to_numpy(zero_copy_only=False)
+    bits[idx] = val
+    bits_ref = ray.put(bits)
+
+    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        b = ray.get(bits_ref)
+        hit = np.empty(batch.num_rows, dtype=bool)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            hit[i] = all(
+                b[h // 63] >> (h % 63) & 1
+                for h in _bloom_positions(t, n_words=n_words, k=k))
+        return batch.filter(pa.array(hit == want_hit))
+
+    maybe_dup = new_ds.map_batches(lambda b: split(b, True),
+                                   batch_format="pyarrow")
+    fresh = new_ds.map_batches(lambda b: split(b, False),
+                               batch_format="pyarrow")
+    empty = ray.data.from_arrow(pa.table({
+        id_col: pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    kept_maybe = delta_exact_dedup(
+        maybe_dup, existing_ds, id_col=id_col,
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions)
+    kept_fresh = delta_exact_dedup(
+        fresh, empty, id_col=id_col, broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions)
+    return kept_maybe.union(kept_fresh)
+
+
 def dedup_keep_best(docs_ds, pairs_ds, scores_ds, *,
                     id_col: str = "doc_id", score_col: str = "score",
                     broadcast_limit: int = 20_000_000,

@@ -275,6 +275,64 @@ def hll_estimate(registers: pa.Table, p: int = 6) -> float:
     return raw
 
 
+def distinct_count_by_group(ds, *, group_col: str, col: str,
+                            hash_values: bool = True):
+    """Dataset[..., group, col] → Dataset(group, n_distinct): EXACT
+    count-distinct per group — the precise counterpart of
+    hll_registers_by_group, for when the report must be exact (dedup
+    audits, per-language unique-document counts).
+
+    Scale shape: an in-batch lexsort combiner first collapses each batch
+    to its distinct (group, value-key) pairs, so the shuffle ships each
+    pair once per batch at most; ``groupby([group, key]).count()``
+    makes them globally distinct, and a second in-batch combiner + tiny
+    ``groupby(group).sum`` counts them. With ``hash_values`` (default)
+    the value key is the md5 hex of the value — a 32-byte key in the
+    shuffle regardless of payload size (= DuckDB ``md5(col)``, so the
+    pair stage is itself oracle-able). Payload never moves; the only
+    all-to-all is over (group, 32-byte key) pairs.
+    """
+    import hashlib
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "vkey": pa.array([], pa.string())})
+        groups = batch.column(group_col).to_pylist()
+        vals = batch.column(col).to_pylist()
+        if hash_values:
+            vals = [hashlib.md5(str(v).encode("utf-8")).hexdigest()
+                    for v in vals]
+        else:
+            vals = [str(v) for v in vals]
+        seen = sorted(set(zip(groups, vals)))
+        return pa.table({
+            group_col: pa.array([g for g, _ in seen], pa.string()),
+            "vkey": pa.array([v for _, v in seen], pa.string()),
+        })
+
+    distinct_pairs = (ds.map_batches(pairs, batch_format="pyarrow")
+                      .groupby([group_col, "vkey"]).aggregate(Count()))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_distinct": pa.array([], pa.int64())})
+        groups = np.array(batch.column(group_col).to_pylist(),
+                          dtype=object)
+        uniq, cnt = np.unique(groups, return_counts=True)
+        return pa.table({
+            group_col: pa.array(list(uniq), pa.string()),
+            "n_distinct": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (distinct_pairs.map_batches(count_partial,
+                                       batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+
 def range_partition(ds, col: str, n_buckets: int):
     """Append a ``bucket`` column assigning each row to one of
     ``n_buckets`` value ranges with (near-)equal row counts — the range

@@ -1291,3 +1291,107 @@ def test_read_jsonl_type_drift_fails_loudly(ray_session, tmp_path):
     with pytest.raises(Exception):
         read_jsonl(str(tmp_path), schema={
             "doc_id": pa.int64(), "text": pa.string()}).take_all()
+
+
+# ---------------------------------------------------------------------------
+# global rank
+
+def test_global_rank_matches_bruteforce(ray_session):
+    import ray
+    from html_parser_ray.functions.ranking import global_rank
+    # ties: many rows share a value; ids deliberately unsorted
+    vals = [(i * 7) % 5 for i in range(200)]
+    ids = [(i * 131) % 200 for i in range(200)]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    want = {d: r for r, (v, d) in enumerate(sorted(zip(vals, ids)))}
+    for vpb in (1, 2, 256):
+        got = {r["doc_id"]: r["rank"] for r in global_rank(
+            ray.data.from_arrow(tbl), col="v", id_col="doc_id",
+            values_per_bucket=vpb).take_all()}
+        assert got == want
+
+
+def test_global_rank_partition_invariant(ray_session):
+    import ray
+    from html_parser_ray.functions.ranking import global_rank
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "v": pa.array([i % 13 for i in range(100)], pa.int64())})
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        return sorted((r["doc_id"], r["rank"])
+                      for r in global_rank(ds, col="v").take_all())
+
+    a = run(1)
+    assert a == run(9)
+    assert [r for _, r in sorted(a, key=lambda x: x[1])] == list(range(100))
+
+
+# ---------------------------------------------------------------------------
+# exact grouped count-distinct
+
+def test_distinct_count_by_group_exact(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import distinct_count_by_group
+    g = ["a"] * 50 + ["b"] * 30 + ["c"] * 1
+    v = [f"t{i % 7}" for i in range(50)] + [f"s{i % 30}" for i in range(30)] \
+        + ["only"]
+    tbl = pa.table({"lang": pa.array(g, pa.string()),
+                    "text": pa.array(v, pa.string())})
+    for hv in (True, False):
+        got = {r["lang"]: r["n_distinct"] for r in distinct_count_by_group(
+            ray.data.from_arrow(tbl).repartition(5), group_col="lang",
+            col="text", hash_values=hv).take_all()}
+        assert got == {"a": 7, "b": 30, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered delta dedup
+
+def _delta_corpus():
+    # new batch shares some texts with existing, repeats some within
+    ex = pa.table({"doc_id": pa.array(range(0, 50), pa.int64()),
+                   "text": pa.array([f"e-{i}" for i in range(50)],
+                                    pa.string())})
+    new_texts = ([f"e-{i}" for i in range(10)]          # dups vs existing
+                 + ["n-rep"] * 3                         # within-new dups
+                 + [f"n-{i}" for i in range(20)])        # genuinely new
+    new = pa.table({"doc_id": pa.array(range(100, 100 + len(new_texts)),
+                                       pa.int64()),
+                    "text": pa.array(new_texts, pa.string())})
+    return ex, new
+
+
+def test_delta_dedup_bloom_identical_to_plain(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import (delta_exact_dedup,
+                                                 delta_exact_dedup_bloom)
+    ex, new = _delta_corpus()
+    plain = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup(
+        ray.data.from_arrow(new), ray.data.from_arrow(ex)).take_all())
+    for n_words in (1, 4096):   # n_words=1: every probe collides ->
+        bloom = sorted(          # all rows take the exact path; still exact
+            (r["doc_id"], r["text"]) for r in delta_exact_dedup_bloom(
+                ray.data.from_arrow(new), ray.data.from_arrow(ex),
+                n_words=n_words).take_all())
+        assert bloom == plain
+    assert plain[0] == (110, "n-rep")     # within-new first occurrence kept
+    assert all(not t.startswith("e-") for _, t in plain)
+
+
+def test_delta_dedup_bloom_prebuilt_registers(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import (delta_exact_dedup,
+                                                 delta_exact_dedup_bloom)
+    from html_parser_ray.functions.sketches import bloom_build
+    ex, new = _delta_corpus()
+    regs = pa.Table.from_pylist(bloom_build(
+        ray.data.from_arrow(ex), column="text", n_words=4096,
+        k=4).take_all())
+    got = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup_bloom(
+        ray.data.from_arrow(new), ray.data.from_arrow(ex),
+        registers=regs, n_words=4096).take_all())
+    want = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup(
+        ray.data.from_arrow(new), ray.data.from_arrow(ex)).take_all())
+    assert got == want
