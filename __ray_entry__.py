@@ -1075,6 +1075,18 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, _query_vector(), k=10)
 
 
+def q_knn_join(sf_dir: str):
+    """All-vectors top-5 neighbors as an IVF-bucketed co-group join
+    (index rows to their cell, query rows exploded to n_probe cells, one
+    matmul per cell, hash-partitioned segment-reduction merge). Ranking
+    by quantized integer inner product — exact cross-engine; n_probe ==
+    n_cells keeps the result exact so the SQL cross-join oracle applies
+    while CORRECTNESS exercises the bucketed path."""
+    from html_parser_ray.functions.ann import knn_join
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_join(ds, k=5, n_cells=16, n_probe=16)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """Trained spherical-k-means coarse cells (deterministic sample +
     seed); n_probe == n_cells keeps the result exact, so the brute-force
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "knn_join": q_knn_join,
         "revenue_by_nation": q_revenue_by_nation,
         "purchase_attribution": q_purchase_attribution,
         "purchase_error_window": q_purchase_error_window,
@@ -1845,6 +1858,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, CAST(round(list_cosine_similarity(embedding, "
             f"{vec}) * 10000) AS BIGINT) AS cosine_bp FROM embeddings "
             f"ORDER BY cosine_bp DESC, vec_id LIMIT 10"
+        ),
+        # knn_join: quantized-integer inner product (the DOUBLE cast
+        # before *10000 is load-bearing — float32 product rounds .5
+        # away; see ann.quantize_matrix)
+        "knn_join": (
+            "WITH qv AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) "
+            "AS q FROM embeddings), "
+            "p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "CAST(list_inner_product(a.q, b.q) AS BIGINT) AS dot_q "
+            "FROM qv a JOIN qv b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT vec_id, neighbor_id, dot_q, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dot_q DESC, neighbor_id) "
+            "AS rn FROM p) "
+            "SELECT vec_id, neighbor_id, dot_q FROM r WHERE rn <= 5"
         ),
         # the only pairs >= 0.95 in the augmented set are the exact copies
         # (max real pairwise cosine in the synthetic tables is ~0.48)

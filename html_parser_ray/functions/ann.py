@@ -236,3 +236,155 @@ def ivf_topk(ds, query: list[float], k: int = 10, n_cells: int = 16,
                           centroids=cents)
     return ivf_search(assigned, query, k=k, n_cells=n_cells,
                       n_probe=n_probe, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# k-NN self-join (all-vectors top-k neighbors)
+
+
+def quantize_matrix(mat: np.ndarray, scale: int = 10_000) -> np.ndarray:
+    """float32 matrix → int64 ``round(float64(x)·scale)``. Pinned
+    convention: the multiply happens in FLOAT64 (DuckDB must CAST x to
+    DOUBLE before `* scale` — the float32 product can land exactly on
+    .5 and round away; verified divergent on the test tables without
+    the cast, 0/124750 pair mismatches with it)."""
+    return np.round(mat.astype(np.float64) * scale).astype(np.int64)
+
+
+def knn_join(ds, *, k: int = 5, n_cells: int = 16, n_probe: int = 16,
+             centroids: np.ndarray | None = None, dim: int | None = None,
+             num_partitions: int = 64, scale: int = 10_000):
+    """embeddings → Dataset[(vec_id, neighbor_id, dot_q)]: every vector's
+    top-k neighbors by QUANTIZED inner product — the all-pairs similarity
+    step behind near-dup mining and diversity analysis, as an IVF-bucketed
+    co-group join (never an O(n²) cross product).
+
+    Similarity is ``dot_q = Σ round(a_i·1e4)·round(b_i·1e4)`` — integer-
+    exact on every engine (|dot_q| < dim·(scale·max|x|)², asserted within
+    int64 composite-key range), so results value-oracle without float
+    rounding hazards; for roughly-unit embeddings the dot ranking IS the
+    cosine ranking. Ties break to the smaller neighbor_id (= SQL
+    ``row_number() OVER (... ORDER BY dot_q DESC, neighbor_id)``).
+
+    Scale shape (100 TB): each vector lands in ONE coarse cell (index
+    side) and explodes to its ``n_probe`` nearest cells (query side);
+    one ``groupby(cell)`` co-locates both and ONE vectorized matmul per
+    CELL emits ≤k candidate rows per (query, probed cell). The merge is
+    a hash-partitioned segment reduction (one Python call per PARTITION,
+    not per query — dedup.py's star-operation pattern). Shuffle volume:
+    (1 + n_probe) copies of the embedding column plus k·n_probe 24-byte
+    candidate rows per vector — linear in n, never quadratic. Exact when
+    ``n_probe == n_cells``; recall-bounded otherwise (pytest-measured).
+    """
+    import ray
+
+    if centroids is None:
+        if dim is None:
+            first = ds.take(1)
+            dim = len(first[0]["embedding"])
+        centroids = ivf_centroids(dim, n_cells)
+    cents_ref = ray.put(centroids)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": batch.column("embedding"),
+                             "is_query": pa.array([], pa.int8())})
+        cents = ray.get(cents_ref)
+        vecs = _unit(list_col_to_matrix(batch.column("embedding")))
+        aff = vecs @ cents.T
+        own = np.argmax(aff, axis=1).astype(np.int32)
+        n_p = min(n_probe, len(cents))
+        # n_probe nearest cells per query row (own cell is its top-1,
+        # so every vector probes its own cell — self handled by mask)
+        probes = np.argpartition(-aff, n_p - 1, axis=1)[:, :n_p]
+        idx_tbl = pa.table({
+            "cell": pa.array(own, pa.int32()),
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "embedding": batch.column("embedding"),
+            "is_query": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+        rep = np.repeat(np.arange(batch.num_rows), n_p)
+        q_tbl = pa.table({
+            "cell": pa.array(probes.ravel().astype(np.int32), pa.int32()),
+            "vec_id": batch.column("vec_id").cast(pa.int64()).take(
+                pa.array(rep)),
+            "embedding": batch.column("embedding").take(pa.array(rep)),
+            "is_query": pa.array(np.ones(len(rep), np.int8)),
+        })
+        return pa.concat_tables([idx_tbl, q_tbl])
+
+    def cell_knn(group: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dot_q": pa.array([], pa.int64())})
+        isq = group.column("is_query").to_numpy(zero_copy_only=False)
+        qi, ii = np.flatnonzero(isq == 1), np.flatnonzero(isq == 0)
+        if len(qi) == 0 or len(ii) == 0:
+            return empty
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        qm = quantize_matrix(list_col_to_matrix(group.column("embedding")),
+                             scale)
+        S = qm[qi] @ qm[ii].T
+        qids, iids = ids[qi], ids[ii]
+        # composite key: (-dot) in the high bits, neighbor POSITION in
+        # the low 32 — one argpartition instead of per-row lexsorts.
+        # Positions are pre-sorted by neighbor id so position order ==
+        # id order within equal dots.
+        iorder = np.argsort(iids)
+        S = S[:, iorder]
+        iids = iids[iorder]
+        n_idx = S.shape[1]
+        assert int(np.abs(S).max(initial=0)) * (n_idx + 1) < (1 << 62), \
+            "dot_q exceeds composite-key headroom; lower scale"
+        key = -S.astype(np.int64) * np.int64(n_idx + 1) \
+            + np.arange(n_idx, dtype=np.int64)
+        # self-pairs out of contention
+        key[qids[:, None] == iids[None, :]] = np.iinfo(np.int64).max
+        take = min(k, S.shape[1])
+        top = np.argpartition(key, take - 1, axis=1)[:, :take]
+        tkey = np.take_along_axis(key, top, axis=1)
+        srt = np.argsort(tkey, axis=1)
+        top = np.take_along_axis(top, srt, axis=1)
+        tkey = np.take_along_axis(tkey, srt, axis=1)
+        valid = tkey != np.iinfo(np.int64).max
+        rows = np.repeat(qids, take)[valid.ravel()]
+        nbrs = iids[top.ravel()][valid.ravel()]
+        dots = np.take_along_axis(S, top, axis=1).ravel()[valid.ravel()]
+        return pa.table({"vec_id": pa.array(rows, pa.int64()),
+                         "neighbor_id": pa.array(nbrs, pa.int64()),
+                         "dot_q": pa.array(dots.astype(np.int64),
+                                           pa.int64())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        v = (batch.column("vec_id").to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        part = ((v * np.uint64(2654435761)) % np.uint64(num_partitions))
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        """ONE vectorized segment reduction per partition: global top-k
+        per query from its ≤ k·n_probe candidate rows."""
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        dot = group.column("dot_q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -dot, vid))
+        v_s = vid[order]
+        new_seg = np.ones(len(order), dtype=bool)
+        new_seg[1:] = v_s[1:] != v_s[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        pos = np.arange(len(order)) - seg_start[seg_id]
+        keep = order[pos < k]
+        return pa.table({"vec_id": pa.array(vid[keep], pa.int64()),
+                         "neighbor_id": pa.array(nid[keep], pa.int64()),
+                         "dot_q": pa.array(dot[keep], pa.int64())})
+
+    candidates = (ds.map_batches(explode, batch_format="pyarrow")
+                  .groupby("cell")
+                  .map_groups(cell_knn, batch_format="pyarrow"))
+    return (candidates.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(merge_part, batch_format="pyarrow"))

@@ -1395,3 +1395,74 @@ def test_delta_dedup_bloom_prebuilt_registers(ray_session):
     want = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup(
         ray.data.from_arrow(new), ray.data.from_arrow(ex)).take_all())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join
+
+def _knn_vectors(n=120, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    }), m
+
+
+def _knn_brute(m, k):
+    from html_parser_ray.functions.ann import quantize_matrix
+    q = quantize_matrix(m)
+    S = q @ q.T
+    want = {}
+    n = len(q)
+    for i in range(n):
+        cand = sorted((int(-S[i, j]), j) for j in range(n) if j != i)[:k]
+        want[i] = [(j, -d) for d, j in cand]
+    return want
+
+
+def test_knn_join_exact_at_full_probe(ray_session):
+    import ray
+    from html_parser_ray.functions.ann import knn_join
+    tbl, m = _knn_vectors()
+    want = _knn_brute(m, k=4)
+    for nblocks in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        rows = knn_join(ds, k=4, n_cells=8, n_probe=8).take_all()
+        got = {}
+        for r in rows:
+            got.setdefault(r["vec_id"], []).append(
+                (r["neighbor_id"], r["dot_q"]))
+        assert {v: sorted(g, key=lambda x: (-x[1], x[0]))
+                for v, g in got.items()} == want
+
+
+def test_knn_join_reduced_probe_recall(ray_session):
+    import ray
+    from html_parser_ray.functions.ann import knn_join
+    tbl, m = _knn_vectors(n=200)
+    want = _knn_brute(m, k=3)
+    rows = knn_join(ray.data.from_arrow(tbl), k=3, n_cells=8,
+                    n_probe=4).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(v, set()) & {j for j, _ in nb})
+               for v, nb in want.items())
+    total = sum(len(nb) for nb in want.values())
+    assert hits / total > 0.5     # half the probes, decent recall
+
+
+def test_knn_join_self_excluded_and_k_capped(ray_session):
+    import ray
+    from html_parser_ray.functions.ann import knn_join
+    tbl, _ = _knn_vectors(n=3)
+    rows = knn_join(ray.data.from_arrow(tbl), k=10, n_cells=2,
+                    n_probe=2).take_all()
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+    by = {}
+    for r in rows:
+        by.setdefault(r["vec_id"], []).append(r)
+    assert all(len(v) == 2 for v in by.values())    # n-1 neighbors max
