@@ -934,6 +934,17 @@ def q_jsonl_roundtrip(sf_dir: str):
         "source": pa.string(), "n_chars": pa.int64()})
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language exact n_chars percentiles (the corpus profiling
+    report): per-batch (lang, value, n) segment combine -> global
+    histogram groupby -> one vectorized cumsum finish per language.
+    quantile_disc rank rule in integer arithmetic on both sides."""
+    from html_parser_ray.functions.sketches import grouped_quantiles
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, group_col="lang", col="n_chars",
+                             q_bps=[2500, 5000, 7500, 9900])
+
+
 def q_global_rank(sf_dir: str):
     """Exact corpus-wide rank by (n_chars, doc_id) — the 'take the N
     best' primitive — via a value histogram (one row per distinct
@@ -1688,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_balance": q_group_balance,
         "hll_by_group": q_hll_by_group,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "grouped_quantiles": q_grouped_quantiles,
         "global_rank": q_global_rank,
         "distinct_by_lang": q_distinct_by_lang,
         "delta_dedup_bloom": q_delta_dedup_bloom,
@@ -2639,6 +2651,17 @@ def oracle_sql() -> dict[str, str]:
         # jsonl_roundtrip: identity over the rendered shards
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # grouped_quantiles: same quantile_disc rank rule as quantiles,
+        # partitioned by lang
+        "grouped_quantiles": (
+            "WITH s AS (SELECT lang, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT s.lang, CAST(q.q_bp AS BIGINT) AS q_bp, "
+            "CAST(s.n_chars AS BIGINT) AS value FROM s JOIN "
+            "(VALUES (2500), (5000), (7500), (9900)) AS q(q_bp) "
+            "ON s.rn = GREATEST(1, (q.q_bp * s.n + 9999) // 10000)"
         ),
         # global_rank: exact 0-based (n_chars, doc_id) order position
         "global_rank": (

@@ -142,6 +142,72 @@ def exact_quantiles(ds, col: str, q_bps: list[int]):
                      "value": pa.array(out_v, pa.int64())})
 
 
+def grouped_quantiles(ds, *, group_col: str, col: str,
+                      q_bps: list[int]):
+    """Dataset[..., group, col:int] → Dataset(group, q_bp, value): exact
+    discrete quantiles PER GROUP — the per-language/per-host length and
+    score percentile profile of a corpus report.
+
+    Scale shape: per batch, one lexsort segment combine collapses rows
+    to (group, value, partial n) — bounded by groups×values present in
+    the batch — then ``groupby([group, value]).sum`` builds the global
+    per-group histograms, and ONE vectorized cumsum finish per GROUP
+    (``groupby(group).map_groups``; group cardinality is languages /
+    hosts — bounded by design, like stratified_sample) selects the
+    ranked values. Rank rule pinned to DuckDB ``quantile_disc``:
+    rank = max(1, ceil(q_bp·n/10⁴)) in pure integer arithmetic — same
+    rule as exact_quantiles. Payload never shuffles; only (group,
+    value, count) rows move.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "value": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        groups = np.array(batch.column(group_col).to_pylist(),
+                          dtype=object)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, groups))
+        g_s, v_s = groups[order], vals[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        idx = np.flatnonzero(first)
+        n = np.diff(np.append(idx, len(order)))
+        return pa.table({
+            group_col: pa.array(list(g_s[idx]), pa.string()),
+            "value": pa.array(v_s[idx].astype(np.int64), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "value"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    qs = np.array(sorted(q_bps), dtype=np.int64)
+
+    def finish(group: pa.Table) -> pa.Table:
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        cnts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        # rank = max(1, ceil(q*n/10000)) — quantile_disc, integer-exact
+        ranks = np.maximum(1, -(-qs * n // 10_000))
+        idx = np.searchsorted(cum, ranks, side="left")
+        g = group.column(group_col).to_pylist()[0]
+        return pa.table({
+            group_col: pa.array([g] * len(qs), pa.string()),
+            "q_bp": pa.array(qs, pa.int64()),
+            "value": pa.array(vals[idx].astype(np.int64), pa.int64()),
+        })
+
+    return hist.groupby(group_col).map_groups(finish,
+                                              batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 

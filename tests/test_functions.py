@@ -1466,3 +1466,27 @@ def test_knn_join_self_excluded_and_k_capped(ray_session):
     for r in rows:
         by.setdefault(r["vec_id"], []).append(r)
     assert all(len(v) == 2 for v in by.values())    # n-1 neighbors max
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles
+
+def test_grouped_quantiles_matches_bruteforce(ray_session):
+    import math
+    import ray
+    from html_parser_ray.functions.sketches import grouped_quantiles
+    g = ["a"] * 101 + ["b"] * 7
+    v = [((i * 37) % 50) for i in range(101)] + [9, 1, 1, 5, 7, 3, 2]
+    tbl = pa.table({"lang": pa.array(g, pa.string()),
+                    "val": pa.array(v, pa.int64())})
+    q_bps = [1, 2500, 5000, 7500, 9900, 10000]
+    rows = grouped_quantiles(
+        ray.data.from_arrow(tbl).repartition(4), group_col="lang",
+        col="val", q_bps=q_bps).take_all()
+    got = {(r["lang"], r["q_bp"]): r["value"] for r in rows}
+    for grp in ("a", "b"):
+        s = sorted(val for gg, val in zip(g, v) if gg == grp)
+        for q in q_bps:
+            rank = max(1, math.ceil(q * len(s) / 10000))
+            assert got[(grp, q)] == s[rank - 1], (grp, q)
+    assert len(got) == 2 * len(q_bps)
