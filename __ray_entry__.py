@@ -1098,6 +1098,17 @@ def q_knn_join(sf_dir: str):
     return knn_join(ds, k=5, n_cells=16, n_probe=16)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label quantized embedding sums (mergeable group centroids):
+    one np.add.reduceat per sorted group segment per batch, global
+    groupby([label, dim]).sum over groups x dim partial rows — the
+    vectors themselves never shuffle. Integer-exact (quantize_matrix's
+    float64-then-round convention = the SQL DOUBLE cast)."""
+    from html_parser_ray.functions.ann import grouped_vector_sum
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return grouped_vector_sum(ds, group_col="label")
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """Trained spherical-k-means coarse cells (deterministic sample +
     seed); n_probe == n_cells keeps the result exact, so the brute-force
@@ -1730,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "knn_join": q_knn_join,
+        "label_centroids": q_label_centroids,
         "revenue_by_nation": q_revenue_by_nation,
         "purchase_attribution": q_purchase_attribution,
         "purchase_error_window": q_purchase_error_window,
@@ -1870,6 +1882,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, CAST(round(list_cosine_similarity(embedding, "
             f"{vec}) * 10000) AS BIGINT) AS cosine_bp FROM embeddings "
             f"ORDER BY cosine_bp DESC, vec_id LIMIT 10"
+        ),
+        # label_centroids: generate_subscripts is DuckDB's unnest
+        # ordinality (WITH ORDINALITY unimplemented in this build)
+        "label_centroids": (
+            "WITH x AS (SELECT label, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS d FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(d - 1 AS BIGINT) AS dim, "
+            "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) "
+            "AS BIGINT) AS sum_q, "
+            "CAST(count(*) AS BIGINT) AS n_vecs "
+            "FROM x GROUP BY 1, 2"
         ),
         # knn_join: quantized-integer inner product (the DOUBLE cast
         # before *10000 is load-bearing — float32 product rounds .5

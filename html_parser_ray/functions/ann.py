@@ -388,3 +388,58 @@ def knn_join(ds, *, k: int = 5, n_cells: int = 16, n_probe: int = 16,
     return (candidates.map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(merge_part, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# grouped embedding centroids (integer-exact vector aggregate)
+
+
+def grouped_vector_sum(ds, *, group_col: str = "label",
+                       vec_col: str = "embedding", scale: int = 10_000):
+    """Dataset[..., group, vec] → Dataset(group, dim, sum_q, n_vecs):
+    per-group QUANTIZED embedding sums — the mergeable form of a group
+    centroid (mean = sum_q / (n_vecs·scale), a driver-side finish), used
+    for cluster profiling, per-language embedding drift, and IVF
+    re-training from assignments.
+
+    Integer-exact cross-engine: each component is round(float64(x)·1e4)
+    (quantize_matrix's pinned convention) and sums are int64 (safe while
+    n·scale·max|x| < 2⁶³ — 10¹⁴ vectors at unit scale). Scale shape: per
+    batch, ONE np.add.reduceat per sorted group segment collapses rows
+    to groups-in-batch × dim partial rows; the global combine is a
+    ``groupby([group, dim]).sum`` over those — the vectors themselves
+    never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        groups = (batch.column(group_col).to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        q = quantize_matrix(list_col_to_matrix(batch.column(vec_col)),
+                            scale)
+        order = np.argsort(groups, kind="stable")
+        g_s, q_s = groups[order], q[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(q_s, starts, axis=0)     # (n_groups, dim)
+        counts = np.diff(np.append(starts, len(order)))
+        n_g, dim = sums.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(g_s[starts], dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_g),
+                            pa.int64()),
+            "sum_q": pa.array(sums.ravel().astype(np.int64), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "dim"])
+            .aggregate(Sum("sum_q", alias_name="sum_q"),
+                       Sum("n_vecs", alias_name="n_vecs")))

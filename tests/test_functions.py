@@ -1490,3 +1490,31 @@ def test_grouped_quantiles_matches_bruteforce(ray_session):
             rank = max(1, math.ceil(q * len(s) / 10000))
             assert got[(grp, q)] == s[rank - 1], (grp, q)
     assert len(got) == 2 * len(q_bps)
+
+
+# ---------------------------------------------------------------------------
+# grouped vector sums
+
+def test_grouped_vector_sum_matches_bruteforce(ray_session):
+    import ray
+    from html_parser_ray.functions.ann import (grouped_vector_sum,
+                                               quantize_matrix)
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(60, 4)).astype(np.float32)
+    labels = [i % 3 for i in range(60)]
+    tbl = pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    rows = grouped_vector_sum(
+        ray.data.from_arrow(tbl).repartition(5),
+        group_col="label").take_all()
+    got = {(r["label"], r["dim"]): (r["sum_q"], r["n_vecs"])
+           for r in rows}
+    q = quantize_matrix(m)
+    for lbl in range(3):
+        sel = q[np.array(labels) == lbl]
+        for d in range(4):
+            assert got[(lbl, d)] == (int(sel[:, d].sum()), len(sel))
+    assert len(got) == 12
