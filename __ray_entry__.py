@@ -967,10 +967,11 @@ def q_distinct_by_lang(sf_dir: str):
 
 
 def q_delta_dedup_bloom(sf_dir: str):
-    """delta_dedup through the Bloom-prefiltered path: existing corpus
-    compresses to broadcast bit registers; definitely-new rows skip the
-    existing-marker co-shuffle, Bloom positives take the exact path.
-    Result is bit-identical to delta_dedup (same oracle)."""
+    """delta_dedup through the Bloom-prefiltered path: the NEW batch's
+    texts compress to broadcast bit registers and existing markers that
+    cannot collide drop at the scan, before the co-shuffle — marker
+    volume O(new + collisions), not O(existing). Result is
+    bit-identical to delta_dedup (same oracle)."""
     from html_parser_ray.functions.dedup import delta_exact_dedup_bloom
     n = _doc_count(sf_dir)
     h = n // 2

@@ -900,44 +900,37 @@ def delta_exact_dedup(new_ds, existing_ds, *, id_col: str = "doc_id",
 
 
 def delta_exact_dedup_bloom(new_ds, existing_ds, *,
-                            registers: "pa.Table | None" = None,
                             id_col: str = "doc_id", n_words: int = 4_096,
                             k: int = 4, broadcast_limit: int = 20_000_000,
                             num_partitions: int = 4_096):
-    """delta_exact_dedup with a Bloom-filter prefilter: EXACT result
-    (identical keep set), but only rows whose text MIGHT be in the
-    existing corpus pay the existing-marker co-shuffle.
+    """delta_exact_dedup with a Bloom prefilter on the EXISTING side:
+    EXACT result (identical keep set), with the existing corpus's marker
+    stream shrunk to ~the collision set before the co-shuffle.
 
-    Why at 100 TB: a healthy crawl batch is mostly genuinely-new pages.
-    The plain delta path co-shuffles one marker row per EXISTING
-    document on every ingest; here the existing corpus compresses to
-    ``n_words`` int64 registers (mergeable across shards/days — build
-    once at ingest, pass via ``registers``), broadcast to every worker,
-    and the definitely-new rows (no false negatives) skip the existing
-    side entirely — they only pay the within-batch first-occurrence
-    reduction. Bloom false positives just take the exact path, so the
-    output is bit-identical to delta_exact_dedup.
-
-    Two identical texts always get the same Bloom verdict, so per-side
-    first-occurrence == global first-occurrence and the split is safe.
+    Why at 100 TB: the ingest batch is the SMALL side; the plain delta
+    path still co-shuffles one marker row per EXISTING document on every
+    ingest. Here the new batch's texts compress to ``n_words`` int64
+    Bloom registers (a bounded driver round-trip over register rows, not
+    payload), broadcast to the existing-corpus scan — an existing marker
+    whose text misses the filter cannot equal ANY new text (no false
+    negatives), so it drops at the scan and never enters the shuffle.
+    False positives just pass through to the exact anti-join, so the
+    output is bit-identical to delta_exact_dedup. Marker co-shuffle
+    volume: O(new + collisions) instead of O(new + existing).
     """
     import ray
     from .sketches import _bloom_positions, bloom_build
 
-    # registers= skips REBUILDING the filter (it is mergeable and built
-    # once at ingest); existing_ds is still required — Bloom positives
-    # must be confirmed against the exact existing markers
-    if registers is None:
-        registers = pa.Table.from_pylist(
-            bloom_build(existing_ds, column="text", n_words=n_words,
-                        k=k).take_all())
+    registers = pa.Table.from_pylist(
+        bloom_build(new_ds, column="text", n_words=n_words,
+                    k=k).take_all())
     bits = np.zeros(n_words, dtype=np.int64)
     idx = registers.column("word_idx").to_numpy(zero_copy_only=False)
     val = registers.column("bits").to_numpy(zero_copy_only=False)
     bits[idx] = val
     bits_ref = ray.put(bits)
 
-    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+    def might_collide(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         b = ray.get(bits_ref)
@@ -946,22 +939,13 @@ def delta_exact_dedup_bloom(new_ds, existing_ds, *,
             hit[i] = all(
                 b[h // 63] >> (h % 63) & 1
                 for h in _bloom_positions(t, n_words=n_words, k=k))
-        return batch.filter(pa.array(hit == want_hit))
+        return batch.filter(pa.array(hit))
 
-    maybe_dup = new_ds.map_batches(lambda b: split(b, True),
-                                   batch_format="pyarrow")
-    fresh = new_ds.map_batches(lambda b: split(b, False),
-                               batch_format="pyarrow")
-    empty = ray.data.from_arrow(pa.table({
-        id_col: pa.array([], pa.int64()),
-        "text": pa.array([], pa.string())}))
-    kept_maybe = delta_exact_dedup(
-        maybe_dup, existing_ds, id_col=id_col,
-        broadcast_limit=broadcast_limit, num_partitions=num_partitions)
-    kept_fresh = delta_exact_dedup(
-        fresh, empty, id_col=id_col, broadcast_limit=broadcast_limit,
-        num_partitions=num_partitions)
-    return kept_maybe.union(kept_fresh)
+    filtered_existing = existing_ds.map_batches(might_collide,
+                                                batch_format="pyarrow")
+    return delta_exact_dedup(new_ds, filtered_existing, id_col=id_col,
+                             broadcast_limit=broadcast_limit,
+                             num_partitions=num_partitions)
 
 
 def dedup_keep_best(docs_ds, pairs_ds, scores_ds, *,

@@ -1380,21 +1380,26 @@ def test_delta_dedup_bloom_identical_to_plain(ray_session):
     assert all(not t.startswith("e-") for _, t in plain)
 
 
-def test_delta_dedup_bloom_prebuilt_registers(ray_session):
+def test_delta_dedup_bloom_filters_existing_side(ray_session):
+    """The prefilter drops existing markers that cannot collide: with a
+    disjoint existing corpus the Bloom path keeps exactly the within-new
+    dedup result (and the existing side contributes nothing)."""
     import ray
     from html_parser_ray.functions.dedup import (delta_exact_dedup,
                                                  delta_exact_dedup_bloom)
-    from html_parser_ray.functions.sketches import bloom_build
-    ex, new = _delta_corpus()
-    regs = pa.Table.from_pylist(bloom_build(
-        ray.data.from_arrow(ex), column="text", n_words=4096,
-        k=4).take_all())
+    ex = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                   "text": pa.array([f"z-{i}" for i in range(50)],
+                                    pa.string())})
+    new = pa.table({"doc_id": pa.array([100, 101, 102], pa.int64()),
+                    "text": pa.array(["a", "a", "b"], pa.string())})
     got = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup_bloom(
         ray.data.from_arrow(new), ray.data.from_arrow(ex),
-        registers=regs, n_words=4096).take_all())
+        n_words=4096).take_all())
+    assert got == [(100, "a"), (102, "b")]
     want = sorted((r["doc_id"], r["text"]) for r in delta_exact_dedup(
         ray.data.from_arrow(new), ray.data.from_arrow(ex)).take_all())
     assert got == want
+
 
 
 # ---------------------------------------------------------------------------
