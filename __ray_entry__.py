@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-50 queries cover the engine surface per SURVEY.md §2.11: the HTML
+83 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -14,10 +14,14 @@ search (brute-force + trained-IVF top-k), text analysis (tokens,
 fingerprints, language-ID, quality), the link-graph layer (DOM href
 extraction / host edges / integer-exact PageRank), deterministic
 sampling, session + tumbling windows, multimodal feature stages, and the
-generic columnar path. All 50 have value-checked DuckDB oracles (since
-r3 the simhash
-queries too: their token hash is md5-based — md5_number_lower in
-DuckDB — so the per-bit majority is SQL-expressible end to end).
+generic columnar path, plus the round-3 curation/sketch/retrieval
+layers (inverted index, count-min + Bloom + HLL register sketches,
+exact grouped count-distinct, grouped quantiles, group balancing,
+global rank, kNN self-join, grouped embedding centroids, JSONL
+round-trip, Bloom-prefiltered delta dedup). All 83 have value-checked
+DuckDB oracles (since r3 the simhash queries too: their token hash is
+md5-based — md5_number_lower in DuckDB — so the per-bit majority is
+SQL-expressible end to end).
 Column names match the SQL aliases exactly (the driver sorts columns by
 name before hashing values), and aggregate sums are CAST to BIGINT so
 DuckDB's HUGEINT does not change the comparison dtype.
