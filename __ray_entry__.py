@@ -280,12 +280,11 @@ def _delta_wrap(batch: pa.Table, n: int) -> pa.Table:
     })
 
 
-def q_delta_dedup(sf_dir: str):
-    """Incremental-ingest dedup: the corpus's second half arrives as a
-    'new crawl batch' and is deduped against the first half (existing
-    corpus) and within itself — (text_hash) markers co-shuffle, payload
-    moves once."""
-    from html_parser_ray.functions.dedup import delta_exact_dedup
+def _delta_split(sf_dir: str):
+    """Shared scaffolding for the delta-dedup queries: wrap the corpus
+    with the planted-dup scheme and split it into (new batch, existing
+    half) — ONE definition so both engine strategies stay bound to the
+    same oracle."""
     n = _doc_count(sf_dir)
     h = n // 2
     ds = (_read(sf_dir, "documents", columns=["doc_id"])
@@ -299,6 +298,16 @@ def q_delta_dedup(sf_dir: str):
     existing = ds.map_batches(lambda b: split(b, True),
                               batch_format="pyarrow")
     new = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    return new, existing
+
+
+def q_delta_dedup(sf_dir: str):
+    """Incremental-ingest dedup: the corpus's second half arrives as a
+    'new crawl batch' and is deduped against the first half (existing
+    corpus) and within itself — (text_hash) markers co-shuffle, payload
+    moves once."""
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    new, existing = _delta_split(sf_dir)
     return delta_exact_dedup(new, existing)
 
 
@@ -977,19 +986,7 @@ def q_delta_dedup_bloom(sf_dir: str):
     volume O(new + collisions), not O(existing). Result is
     bit-identical to delta_dedup (same oracle)."""
     from html_parser_ray.functions.dedup import delta_exact_dedup_bloom
-    n = _doc_count(sf_dir)
-    h = n // 2
-    ds = (_read(sf_dir, "documents", columns=["doc_id"])
-          .map_batches(lambda b: _delta_wrap(b, n),
-                       batch_format="pyarrow"))
-
-    def split(batch: pa.Table, old: bool) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids < h if old else ids >= h))
-
-    existing = ds.map_batches(lambda b: split(b, True),
-                              batch_format="pyarrow")
-    new = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    new, existing = _delta_split(sf_dir)
     return delta_exact_dedup_bloom(new, existing)
 
 
@@ -2650,9 +2647,10 @@ def oracle_sql() -> dict[str, str]:
             "bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) "
             "AS bits FROM h GROUP BY 1"
         ),
-        # group_balance: keep iff hashed-id permyriad < mn*10000 // cnt
-        # (integer division on both sides; same 63-bit masked md5 as
-        # split_assign)
+        # group_balance: keep iff hashed-id permyriad <
+        # max(1, mn*10000 // cnt) — the GREATEST(1, ...) clamp mirrors
+        # the engine (beyond-10^4 skew keeps ~cnt/10^4 rows, never
+        # drops a group); same 63-bit masked md5 as split_assign
         "group_balance": (
             "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "
             "GROUP BY 1), m AS (SELECT min(cnt) AS mn FROM c) "
@@ -2660,7 +2658,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.lang = c.lang AND "
             "CAST((md5_number_lower(concat(d.doc_id, ':balance')) "
             "% 9223372036854775808) % 10000 AS BIGINT) "
-            "< (m.mn * 10000) // c.cnt"
+            "< GREATEST(1, (m.mn * 10000) // c.cnt)"
         ),
         # hll_by_group: hll_registers' rank rule with a lang key
         "hll_by_group": (

@@ -326,6 +326,13 @@ def knn_join(ds, *, k: int = 5, n_cells: int = 16, n_probe: int = 16,
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
         qm = quantize_matrix(list_col_to_matrix(group.column("embedding")),
                              scale)
+        # headroom check BEFORE the int64 matmul (a wrapped dot can look
+        # small and slip past a post-hoc check): bound the dot by
+        # dim·max|q|·max|i|, in Python ints
+        m_max = int(np.abs(qm).max(initial=0))
+        n_idx_pre = len(ii)
+        assert m_max * m_max * qm.shape[1] * (n_idx_pre + 1) < (1 << 62), \
+            "dot_q could exceed int64 composite-key headroom; lower scale"
         S = qm[qi] @ qm[ii].T
         qids, iids = ids[qi], ids[ii]
         # composite key: (-dot) in the high bits, neighbor POSITION in
@@ -336,8 +343,6 @@ def knn_join(ds, *, k: int = 5, n_cells: int = 16, n_probe: int = 16,
         S = S[:, iorder]
         iids = iids[iorder]
         n_idx = S.shape[1]
-        assert int(np.abs(S).max(initial=0)) * (n_idx + 1) < (1 << 62), \
-            "dot_q exceeds composite-key headroom; lower scale"
         key = -S.astype(np.int64) * np.int64(n_idx + 1) \
             + np.arange(n_idx, dtype=np.int64)
         # self-pairs out of contention

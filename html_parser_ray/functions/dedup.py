@@ -921,13 +921,14 @@ def delta_exact_dedup_bloom(new_ds, existing_ds, *,
     import ray
     from .sketches import _bloom_positions, bloom_build
 
-    registers = pa.Table.from_pylist(
-        bloom_build(new_ds, column="text", n_words=n_words,
-                    k=k).take_all())
+    reg_rows = bloom_build(new_ds, column="text", n_words=n_words,
+                           k=k).take_all()
     bits = np.zeros(n_words, dtype=np.int64)
-    idx = registers.column("word_idx").to_numpy(zero_copy_only=False)
-    val = registers.column("bits").to_numpy(zero_copy_only=False)
-    bits[idx] = val
+    if reg_rows:     # empty new batch → all-zero filter (drops every
+        registers = pa.Table.from_pylist(reg_rows)   # existing marker)
+        idx = registers.column("word_idx").to_numpy(zero_copy_only=False)
+        val = registers.column("bits").to_numpy(zero_copy_only=False)
+        bits[idx] = val
     bits_ref = ray.put(bits)
 
     def might_collide(batch: pa.Table) -> pa.Table:

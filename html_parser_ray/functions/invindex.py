@@ -22,17 +22,14 @@ corpus-level retrieval layer a training-data pipeline adds on top.
 
 from __future__ import annotations
 
-import re
 import zlib
 
 import numpy as np
 import pyarrow as pa
 
-_WS = re.compile(r"[ \t\n\r\f]+")
-
-
-def _tokens_of(text: str) -> list[str]:
-    return [t for t in _WS.split(text.lower()) if t]
+# one shared tokenizer: must stay in lockstep with the SQL oracles'
+# explicit [ \t\n\r\f]+ class across every token-level query
+from .sketches import _tokens_of
 
 
 def inverted_index(ds, *, postings_cap: int = 64,

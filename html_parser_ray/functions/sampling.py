@@ -133,10 +133,13 @@ def group_balance(ds, *, group_col: str, id_col: str = "doc_id",
 
     Rule (integer-exact, hash-deterministic): with cnt[g] the exact
     group sizes and mn = min(cnt), keep a row iff
-    ``md5_63(f"{id}:{salt}") % rate_scale  <  mn * rate_scale // cnt[g]``
+    ``md5_63(f"{id}:{salt}") % rate_scale < max(1, mn*rate_scale//cnt[g])``
     — the smallest group's rate is exactly ``rate_scale`` (kept whole),
-    every other group is thinned to ≈mn rows. Re-runs and incremental
-    ingests keep each doc's fate (never Dataset.random_sample).
+    every other group is thinned to ≈mn rows. Groups more than
+    rate_scale× larger than the smallest clamp to rate 1 and keep
+    ≈cnt/rate_scale rows (never silently dropped); raise ``rate_scale``
+    when the skew exceeds it. Re-runs and incremental ingests keep each
+    doc's fate (never Dataset.random_sample).
 
     Scale shape: pass 1 counts groups with an in-batch combiner (one row
     per group per batch) + one tiny groupby-sum; the counts table is
@@ -157,7 +160,11 @@ def group_balance(ds, *, group_col: str, id_col: str = "doc_id",
         return ds
     cnt = {r[group_col]: int(r["n"]) for r in counts}
     mn = min(cnt.values())
-    rates = {g: mn * rate_scale // c for g, c in cnt.items()}
+    # clamp to >= 1: beyond rate_scale-fold skew the exact rate floors
+    # to 0 and would DROP the group entirely; at rate 1 the group keeps
+    # ~cnt/rate_scale rows instead (> mn — raise rate_scale for tighter
+    # balance at extreme skew). SQL oracle mirrors with GREATEST(1, ...)
+    rates = {g: max(1, mn * rate_scale // c) for g, c in cnt.items()}
     rates_ref = ray.put(rates)
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -222,6 +222,22 @@ def _hll_hash63(values: list[str]) -> np.ndarray:
         dtype=np.int64)
 
 
+def _hll_ranks(h: np.ndarray, low_bits: int) -> np.ndarray:
+    """rank = position of the first 1-bit of the low field from the MSB
+    side, 1-based; all-zero low -> low_bits + 1. Integer-exact: the
+    float log2 is corrected by exact shifts (shared by the global and
+    grouped register builders so the rank rule cannot drift)."""
+    low_mask = (1 << low_bits) - 1
+    low = h & low_mask
+    ilog2 = np.zeros(len(low), dtype=np.int64)
+    nz = low > 0
+    ilog2[nz] = np.floor(np.log2(low[nz])).astype(np.int64)
+    # exact-integer guard against float log2 edge error
+    ilog2[nz] += (low[nz] >> (ilog2[nz] + 1)) > 0
+    ilog2[nz] -= (low[nz] >> ilog2[nz]) == 0
+    return np.where(nz, low_bits - ilog2, low_bits + 1).astype(np.int64)
+
+
 def hll_registers(ds, col: str, p: int = 6):
     """Dataset[..., col:string] → Dataset[(reg, max_rank)] — the 2^p
     HyperLogLog registers (Flajolet et al. 2007) of the column's
@@ -240,7 +256,6 @@ def hll_registers(ds, col: str, p: int = 6):
     from ray.data.aggregate import Max
 
     low_bits = 63 - p
-    low_mask = (1 << low_bits) - 1
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_pylist()
@@ -249,16 +264,7 @@ def hll_registers(ds, col: str, p: int = 6):
                              "rank": pa.array([], pa.int64())})
         h = _hll_hash63(vals)
         reg = (h >> low_bits).astype(np.int64)
-        low = h & low_mask
-        # rank = position of the first 1-bit in the low field from the
-        # MSB side, 1-based; all-zero low -> low_bits + 1
-        ilog2 = np.zeros(len(low), dtype=np.int64)
-        nz = low > 0
-        ilog2[nz] = np.floor(np.log2(low[nz])).astype(np.int64)
-        # exact-integer guard against float log2 edge error
-        ilog2[nz] += (low[nz] >> (ilog2[nz] + 1)) > 0
-        ilog2[nz] -= (low[nz] >> ilog2[nz]) == 0
-        rank = np.where(nz, low_bits - ilog2, low_bits + 1).astype(np.int64)
+        rank = _hll_ranks(h, low_bits)
         # in-batch partial max per register
         order = np.lexsort((-rank, reg))
         reg_s, rank_s = reg[order], rank[order]
@@ -288,7 +294,6 @@ def hll_registers_by_group(ds, *, group_col: str, col: str, p: int = 6):
     from ray.data.aggregate import Max
 
     low_bits = 63 - p
-    low_mask = (1 << low_bits) - 1
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -299,13 +304,7 @@ def hll_registers_by_group(ds, *, group_col: str, col: str, p: int = 6):
                           dtype=object)
         h = _hll_hash63(batch.column(col).to_pylist())
         reg = (h >> low_bits).astype(np.int64)
-        low = h & low_mask
-        ilog2 = np.zeros(len(low), dtype=np.int64)
-        nz = low > 0
-        ilog2[nz] = np.floor(np.log2(low[nz])).astype(np.int64)
-        ilog2[nz] += (low[nz] >> (ilog2[nz] + 1)) > 0
-        ilog2[nz] -= (low[nz] >> ilog2[nz]) == 0
-        rank = np.where(nz, low_bits - ilog2, low_bits + 1).astype(np.int64)
+        rank = _hll_ranks(h, low_bits)
         # partial max per (group, reg): lexsort + first-of-segment mask
         order = np.lexsort((-rank, reg, groups))
         g_s, reg_s, rank_s = groups[order], reg[order], rank[order]
@@ -362,6 +361,9 @@ def distinct_count_by_group(ds, *, group_col: str, col: str,
     from ray.data.aggregate import Count, Sum
 
     def pairs(batch: pa.Table) -> pa.Table:
+        # NULL values don't count — SQL count(DISTINCT col) semantics
+        # (and str(None) would conflate NULL with a literal 'None')
+        batch = batch.filter(pa.compute.is_valid(batch.column(col)))
         if batch.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()),
                              "vkey": pa.array([], pa.string())})
@@ -429,10 +431,9 @@ def range_partition(ds, col: str, n_buckets: int):
 # ---------------------------------------------------------------------------
 # count-min sketch (Cormode & Muthukrishnan 2005)
 
-def _md5_low64(s: str) -> int:
-    import hashlib
-    import struct
-    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+# canonical cross-engine hash (= DuckDB md5_number_lower); ONE shared
+# definition — see sampling._md5_low64_str
+from .sampling import _md5_low64_str as _md5_low64  # noqa: E402
 
 
 def cms_table(ds, *, width: int = 1024, depth: int = 4):

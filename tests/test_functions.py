@@ -1523,3 +1523,61 @@ def test_grouped_vector_sum_matches_bruteforce(ray_session):
         for d in range(4):
             assert got[(lbl, d)] == (int(sel[:, d].sum()), len(sel))
     assert len(got) == 12
+
+
+def test_group_balance_extreme_skew_keeps_trace(ray_session):
+    """Beyond rate_scale-fold skew the rate clamps to 1 (≈cnt/10⁴ rows
+    kept) instead of flooring to 0 and dropping the group."""
+    import ray
+    from html_parser_ray.functions.sampling import group_balance
+    langs = ["en"] * 30000 + ["de"] * 2
+    tbl = pa.table({"doc_id": pa.array(range(len(langs)), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    out = group_balance(ray.data.from_arrow(tbl), group_col="lang",
+                        rate_scale=100).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by["de"]) == 2                 # smallest kept whole
+    assert 1 <= len(by.get("en", [])) <= 900  # rate 1/100: ~300, never 0
+
+
+def test_delta_dedup_bloom_empty_new_batch(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import delta_exact_dedup_bloom
+    ex = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                   "text": pa.array([f"e-{i}" for i in range(5)],
+                                    pa.string())})
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = delta_exact_dedup_bloom(ray.data.from_arrow(empty),
+                                  ray.data.from_arrow(ex)).take_all()
+    assert out == []
+
+
+def test_distinct_count_by_group_skips_nulls(ray_session):
+    import ray
+    from html_parser_ray.functions.sketches import distinct_count_by_group
+    tbl = pa.table({
+        "lang": pa.array(["a", "a", "b", "b"], pa.string()),
+        "text": pa.array(["x", None, None, None], pa.string()),
+    })
+    got = {r["lang"]: r["n_distinct"] for r in distinct_count_by_group(
+        ray.data.from_arrow(tbl), group_col="lang", col="text").take_all()}
+    # all-NULL group contributes no row (count(DISTINCT)=0 in SQL)
+    assert got == {"a": 1}
+
+
+def test_knn_join_overflow_guard_trips_before_wraparound(ray_session):
+    import pytest
+    import ray
+    from html_parser_ray.functions.ann import knn_join
+    # |x| ~ 1e5 quantizes to ~1e9; dot would wrap int64 silently
+    big = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([[1e5] * 16] * 4,
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception):
+        knn_join(ray.data.from_arrow(big), k=2, n_cells=1,
+                 n_probe=1).take_all()
