@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-83 queries cover the engine surface per SURVEY.md §2.11: the HTML
+84 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -18,7 +18,7 @@ generic columnar path, plus the round-3 curation/sketch/retrieval
 layers (inverted index, count-min + Bloom + HLL register sketches,
 exact grouped count-distinct, grouped quantiles, group balancing,
 global rank, kNN self-join, grouped embedding centroids, JSONL
-round-trip, Bloom-prefiltered delta dedup). All 83 have value-checked
+round-trip, Bloom-prefiltered delta dedup). All 84 have value-checked
 DuckDB oracles (since r3 the simhash queries too: their token hash is
 md5-based — md5_number_lower in DuckDB — so the per-bit majority is
 SQL-expressible end to end).
@@ -947,6 +947,19 @@ def q_jsonl_roundtrip(sf_dir: str):
         "source": pa.string(), "n_chars": pa.int64()})
 
 
+def q_profile_table(sf_dir: str):
+    """Distributed DESCRIBE over the documents table: per column
+    (n_rows, n_nulls, min, max, exact n_distinct). One partial row per
+    (batch, column) with order-preserving string-encoded min/max, one
+    vectorized finish per column; distinct counts ride the exact pair
+    machinery — only (column, md5) pairs shuffle."""
+    from html_parser_ray.functions.profile import profile_columns
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "n_chars", "lang", "source"])
+    return profile_columns(ds, int_cols=["doc_id", "n_chars"],
+                           str_cols=["lang", "source"])
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-language exact n_chars percentiles (the corpus profiling
     report): per-batch (lang, value, n) segment combine -> global
@@ -1712,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_balance": q_group_balance,
         "hll_by_group": q_hll_by_group,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "profile_table": q_profile_table,
         "grouped_quantiles": q_grouped_quantiles,
         "global_rank": q_global_rank,
         "distinct_by_lang": q_distinct_by_lang,
@@ -2678,6 +2692,26 @@ def oracle_sql() -> dict[str, str]:
         # jsonl_roundtrip: identity over the rendered shards
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # profile_table: CAST min/max to VARCHAR (the engine renders
+        # plain value strings); count(DISTINCT) skips NULLs on both sides
+        "profile_table": (
+            "SELECT 'doc_id' AS column, count(*) AS n_rows, "
+            "count(*) - count(doc_id) AS n_nulls, "
+            "CAST(min(doc_id) AS VARCHAR) AS min_v, "
+            "CAST(max(doc_id) AS VARCHAR) AS max_v, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct "
+            "FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*), "
+            "count(*) - count(n_chars), CAST(min(n_chars) AS VARCHAR), "
+            "CAST(max(n_chars) AS VARCHAR), "
+            "CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'lang', count(*), count(*) - count(lang), "
+            "min(lang), max(lang), "
+            "CAST(count(DISTINCT lang) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'source', count(*), "
+            "count(*) - count(source), min(source), max(source), "
+            "CAST(count(DISTINCT source) AS BIGINT) FROM documents"
         ),
         # grouped_quantiles: same quantile_disc rank rule as quantiles,
         # partitioned by lang

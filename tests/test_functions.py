@@ -1581,3 +1581,34 @@ def test_knn_join_overflow_guard_trips_before_wraparound(ray_session):
     with pytest.raises(Exception):
         knn_join(ray.data.from_arrow(big), k=2, n_cells=1,
                  n_probe=1).take_all()
+
+
+# ---------------------------------------------------------------------------
+# column profiling
+
+def test_profile_columns_with_nulls_and_negatives(ray_session):
+    import ray
+    from html_parser_ray.functions.profile import profile_columns
+    tbl = pa.table({
+        "x": pa.array([-5, None, 3, -5, 100], pa.int64()),
+        "s": pa.array(["b", "a", None, "a", "zz"], pa.string()),
+    })
+    rows = {r["column"]: r for r in profile_columns(
+        ray.data.from_arrow(tbl).repartition(3),
+        int_cols=["x"], str_cols=["s"]).to_pylist()}
+    assert rows["x"]["n_rows"] == 5 and rows["x"]["n_nulls"] == 1
+    assert rows["x"]["min_v"] == "-5" and rows["x"]["max_v"] == "100"
+    assert rows["x"]["n_distinct"] == 3          # NULL not counted
+    assert rows["s"]["min_v"] == "a" and rows["s"]["max_v"] == "zz"
+    assert rows["s"]["n_distinct"] == 3 and rows["s"]["n_nulls"] == 1
+
+
+def test_profile_columns_all_null_column(ray_session):
+    import ray
+    from html_parser_ray.functions.profile import profile_columns
+    tbl = pa.table({"x": pa.array([None, None], pa.int64())})
+    rows = profile_columns(ray.data.from_arrow(tbl), int_cols=["x"],
+                           str_cols=[]).to_pylist()
+    r = rows[0]
+    assert (r["n_nulls"], r["min_v"], r["max_v"], r["n_distinct"]) \
+        == (2, "", "", 0)
