@@ -3,7 +3,7 @@
 Ray is initialised by the driver BEFORE this module is imported — nothing
 here calls ray.init()/ray.shutdown().
 
-84 queries cover the engine surface per SURVEY.md §2.11: the HTML
+85 queries cover the engine surface per SURVEY.md §2.11: the HTML
 extraction pipeline (wrap documents.text in deterministic escaped HTML →
 ExtractStage → byte-exact text vs a SQL normalization oracle), boilerplate
 classification / main-content extraction, PDF/layout parse, extraction
@@ -18,7 +18,7 @@ generic columnar path, plus the round-3 curation/sketch/retrieval
 layers (inverted index, count-min + Bloom + HLL register sketches,
 exact grouped count-distinct, grouped quantiles, group balancing,
 global rank, kNN self-join, grouped embedding centroids, JSONL
-round-trip, Bloom-prefiltered delta dedup). All 84 have value-checked
+round-trip, Bloom-prefiltered delta dedup). All 85 have value-checked
 DuckDB oracles (since r3 the simhash queries too: their token hash is
 md5-based — md5_number_lower in DuckDB — so the per-bit majority is
 SQL-expressible end to end).
@@ -947,6 +947,44 @@ def q_jsonl_roundtrip(sf_dir: str):
         "source": pa.string(), "n_chars": pa.int64()})
 
 
+def q_shard_roundtrip(sf_dir: str):
+    """Partitioned-Parquet SINK under the oracle gate: write the corpus
+    through write_training_shards (one directory per shard, per-block
+    partitioning — the resumable output shape), read the shard tree
+    back with read_parquet, and reproduce (doc_id, text, shuffle_key,
+    shard) — the shard assignment is the shuffle_shards hash rule, so
+    the whole write→read loop value-oracles."""
+    import os
+    from html_parser_ray.functions.sampling import write_training_shards
+
+    out_dir = os.path.join(
+        "/tmp/graft_shards",
+        os.path.basename(os.path.normpath(sf_dir)))
+    done = os.path.join(out_dir, "_DONE")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if not os.path.exists(done):
+        write_training_shards(ds, out_dir, n_shards=8, salt="rt")
+        with open(done, "w") as f:
+            f.write("ok")
+    import ray
+    back = ray.data.read_parquet(out_dir)
+
+    def restore(batch: pa.Table) -> pa.Table:
+        # partition_cols come back as a dictionary/string partition
+        # column — normalize to int64 for the compare frame
+        shard = batch.column("shard")
+        if shard.type != pa.int64():
+            shard = shard.cast(pa.string()).cast(pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+            "shuffle_key": batch.column("shuffle_key").cast(pa.int64()),
+            "shard": shard,
+        })
+
+    return back.map_batches(restore, batch_format="pyarrow")
+
+
 def q_profile_table(sf_dir: str):
     """Distributed DESCRIBE over the documents table: per column
     (n_rows, n_nulls, min, max, exact n_distinct). One partial row per
@@ -1725,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_balance": q_group_balance,
         "hll_by_group": q_hll_by_group,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "shard_roundtrip": q_shard_roundtrip,
         "profile_table": q_profile_table,
         "grouped_quantiles": q_grouped_quantiles,
         "global_rank": q_global_rank,
@@ -2692,6 +2731,16 @@ def oracle_sql() -> dict[str, str]:
         # jsonl_roundtrip: identity over the rendered shards
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        # shard_roundtrip: the write->read loop must reproduce the
+        # shuffle_shards hash rule over (doc_id, text)
+        "shard_roundtrip": (
+            "SELECT doc_id, text, "
+            "CAST(md5_number_lower(concat(doc_id, ':rt')) "
+            "% 9223372036854775808 AS BIGINT) AS shuffle_key, "
+            "CAST((md5_number_lower(concat(doc_id, ':rt')) "
+            "% 9223372036854775808) % 8 AS BIGINT) AS shard "
+            "FROM documents"
         ),
         # profile_table: CAST min/max to VARCHAR (the engine renders
         # plain value strings); count(DISTINCT) skips NULLs on both sides

@@ -161,7 +161,8 @@ def bench_queries(sf_dir: str) -> dict[str, dict]:
                  "cms_registers", "bloom_registers", "group_balance",
                  "hll_by_group", "jsonl_roundtrip", "global_rank",
                  "distinct_by_lang", "delta_dedup_bloom", "knn_join",
-                 "grouped_quantiles", "label_centroids", "profile_table"]:
+                 "grouped_quantiles", "label_centroids", "profile_table",
+                 "shard_roundtrip"]:
         fn = qs[name]
         times[name] = _median_timed(lambda: _consume(fn(sf_dir)))
     times["main_content_cc"] = bench_main_content_cc(sf_dir)
