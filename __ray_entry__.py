@@ -427,7 +427,7 @@ def _sampled_orders(sf_dir: str):
 
 
 def q_split_assign(sf_dir: str):
-    """Deterministic hash-stable train/val/test split (98/1/1 permille
+    """Deterministic hash-stable train/val/test split (900/50/50 permille
     thresholds on md5(id:salt) % 1000) — never random_split."""
     from html_parser_ray.functions.sampling import split_assign
     ds = _read(sf_dir, "documents", columns=["doc_id"])

@@ -31,20 +31,22 @@ END = "</w>"            # end-of-word marker, per the original algorithm
 
 
 def word_counts(ds, *, text_col: str = "text"):
-    """Dataset[..., text] → Dataset[(word, n)] — the distributed pass."""
-    from ray.data.aggregate import Sum
+    """Dataset[..., text] → Dataset[(word, n)] — the distributed pass.
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column(text_col).to_pylist():
-            for w in _WS.split(t.strip(" \t\n\r\f").lower()):
-                if w:
-                    counts[w] = counts.get(w, 0) + 1
-        return pa.table({"word": pa.array(list(counts), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+    Thin rename over lmscore.token_counts_table so the corpus has ONE
+    pinned tokenization (the explicit ASCII class both SQL oracles use);
+    a second copy here could silently diverge the BPE vocabulary from
+    the LM scores."""
+    from .lmscore import token_counts_table
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("word").aggregate(Sum("n", alias_name="n")))
+    if text_col != "text":
+        ds = ds.map_batches(
+            lambda b: pa.table({"text": b.column(text_col)}),
+            batch_format="pyarrow")
+    return token_counts_table(ds).map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "n": b.column("cnt")}),
+        batch_format="pyarrow")
 
 
 def bpe_merges(counts: pa.Table, n_merges: int) -> list[tuple[str, str]]:
@@ -87,11 +89,25 @@ def bpe_merges(counts: pa.Table, n_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
+# one-slot rank-dict memo keyed on merge-list IDENTITY (holding the
+# reference keeps the id stable): encoding a corpus calls bpe_encode per
+# word, and rebuilding the 32k-entry dict each call was O(|merges|)
+# before any matching started
+_RANK_CACHE: list = [None, None]
+
+
+def _merge_ranks(merges: list[tuple[str, str]]) -> dict:
+    if _RANK_CACHE[0] is not merges:
+        _RANK_CACHE[0] = merges
+        _RANK_CACHE[1] = {m: i for i, m in enumerate(merges)}
+    return _RANK_CACHE[1]
+
+
 def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply a learned merge list to one word (greedy, merge-order
     priority — the standard inference rule)."""
     syms = list(word) + [END]
-    rank = {m: i for i, m in enumerate(merges)}
+    rank = _merge_ranks(merges)
     while len(syms) > 1:
         best_i, best_r = -1, len(merges)
         for i, pair in enumerate(zip(syms, syms[1:])):

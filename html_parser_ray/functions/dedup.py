@@ -717,8 +717,11 @@ def _apply_id_filter(docs_ds, ids_ds, *, keep: bool,
     n_ids = ids_ds.count()
 
     if n_ids <= broadcast_limit:
+        # marker tables are single-column; read by POSITION so callers
+        # may name the column after their id_col (crashed on any
+        # non-default id_col when this read the name "doc_id")
         set_ids = np.sort(np.concatenate(
-            [b.column("doc_id").to_numpy(zero_copy_only=False)
+            [b.column(0).to_numpy(zero_copy_only=False)
              for b in ids_ds.iter_batches(batch_format="pyarrow")]
             or [np.array([], dtype=np.int64)]))
         set_ref = ray.put(set_ids)
@@ -754,11 +757,12 @@ def _apply_id_filter(docs_ds, ids_ds, *, keep: bool,
                                         pa.int64())))
 
     def pad_markers(batch: pa.Table) -> pa.Table:
-        # markers carry only doc_id; union requires identical schemas, so
-        # pad the payload columns with (cheap) nulls
-        ids = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # markers carry only the id column (read by position — see the
+        # broadcast path); union requires identical schemas, so pad the
+        # payload columns with (cheap) nulls
+        ids = (batch.column(0).to_numpy(zero_copy_only=False)
                .astype(np.int64))
-        cols = {id_col: batch.column("doc_id").cast(id_type)}
+        cols = {id_col: batch.column(0).cast(id_type)}
         for name in pad_cols:
             cols[name] = pa.nulls(
                 len(batch), doc_schema.base_schema.field(name).type)

@@ -53,6 +53,11 @@ def broadcast_lookup(ds, lookup_table: pa.Table, *, key: str,
         zero_copy_only=False)[order]
     values = {c: lookup_table.column(c).take(pa.array(order))
               for c in value_cols}
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(
+            "lookup_table has duplicate lookup_key values; searchsorted "
+            "attaches ONE arbitrary match instead of SQL fan-out — "
+            "dedupe the dimension side or use hash_join")
     ref = ray.put((keys, values))
 
     def lookup(batch: pa.Table) -> pa.Table:
@@ -276,6 +281,11 @@ def broadcast_lookup_outer(ds, lookup_table: pa.Table, *, key: str,
     values = {c: lookup_table.column(c).take(pa.array(order))
               for c in value_cols}
     types = {c: lookup_table.schema.field(c).type for c in value_cols}
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(
+            "lookup_table has duplicate lookup_key values; searchsorted "
+            "attaches ONE arbitrary match instead of SQL fan-out — "
+            "dedupe the dimension side or use hash_join")
     ref = ray.put((keys, values))
 
     def lookup(batch: pa.Table) -> pa.Table:

@@ -320,15 +320,20 @@ def hll_registers_by_group(ds, *, group_col: str, col: str, p: int = 6):
 
 
 def hll_estimate(registers: pa.Table, p: int = 6) -> float:
-    """Standard HLL estimate with small/large-range corrections from a
-    (reg, max_rank) register table (absent registers count as rank 0).
-    Driver-side finish over ≤2^p rows."""
+    """Standard HLL estimate with the small-range linear-counting
+    correction from a (reg, max_rank) register table (absent registers
+    count as rank 0; the classic large-range correction is a 32-bit-hash
+    artifact — unnecessary for this 63-bit hash). Accepts CONCATENATED
+    per-shard register tables: duplicate reg rows combine by max (the
+    HLL merge rule). Driver-side finish over ≤2^p rows per shard."""
     import math
     m = 1 << p
     regs = np.zeros(m, dtype=np.int64)
     idx = registers.column("reg").to_numpy(zero_copy_only=False)
     val = registers.column("max_rank").to_numpy(zero_copy_only=False)
-    regs[idx] = val
+    # maximum.at, not fancy-assign: concatenated shard tables carry
+    # duplicate reg rows and last-write-wins would silently undercount
+    np.maximum.at(regs, idx, val)
     if m >= 128:
         alpha = 0.7213 / (1 + 1.079 / m)
     else:

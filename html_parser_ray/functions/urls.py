@@ -131,7 +131,7 @@ def url_blocklist_flags(ds, *, blocked_domains: list[str],
     streams with no shuffle."""
     import ray
 
-    doms = sorted(blocked_domains)
+    doms = frozenset(blocked_domains)
     subs = sorted(blocked_substrings)
     ref = ray.put((doms, subs))
 
@@ -142,12 +142,28 @@ def url_blocklist_flags(ds, *, blocked_domains: list[str],
         reasons = []
         for i, u in enumerate(urls):
             host = canonicalize_url(u)[1]
+            # a NON-default port survives canonicalization in the host
+            # ("spam.example.com:8080") and used to bypass the domain
+            # match entirely — strip it (bracketed IPv6 excepted)
+            if ":" in host and not host.endswith("]"):
+                host = host.rsplit(":", 1)[0]
             low = u.lower()
             reason = ""
-            for d in b_doms:
-                if host == d or host.endswith("." + d):
-                    reason = f"domain:{d}"
+            # suffix-set probe: O(#labels) membership tests instead of a
+            # linear scan over the (UT1-scale, ~4M-entry) domain list;
+            # min() over the matched suffixes reproduces the pinned
+            # "first in sorted order" rule exactly
+            matches = []
+            suffix = host
+            while suffix:
+                if suffix in b_doms:
+                    matches.append(suffix)
+                dot = suffix.find(".")
+                if dot == -1:
                     break
+                suffix = suffix[dot + 1:]
+            if matches:
+                reason = f"domain:{min(matches)}"
             if not reason:
                 for s in b_subs:
                     if s in low:

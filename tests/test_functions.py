@@ -789,13 +789,82 @@ def test_hll_registers_mergeable(ray_session):
 
 
 def test_hll_rank_rule_matches_bit_length():
-    from html_parser_ray.functions.sketches import _hll_hash63
+    """The vectorized float-log2 rank (with its ±1 integer guard) must
+    equal the exact bit_length rule on every hash — this is the delicate
+    code path both HLL builders share via _hll_ranks."""
+    from html_parser_ray.functions.sketches import _hll_hash63, _hll_ranks
     h = _hll_hash63([f"x{i}" for i in range(5000)])
     low_bits = 57
-    for v in h:
+    got = _hll_ranks(h, low_bits)
+    for v, g in zip(h, got):
         low = int(v) & ((1 << low_bits) - 1)
         want = low_bits - low.bit_length() + 1 if low else low_bits + 1
-        assert 1 <= want <= low_bits + 1
+        assert g == want
+    # boundary values the float path is most likely to get wrong
+    edges = np.array([0, 1, 2, 3, (1 << 56) - 1, 1 << 56,
+                      (1 << 57) - 1], dtype=np.int64)
+    got_e = _hll_ranks(edges, low_bits)
+    for v, g in zip(edges.tolist(), got_e):
+        want = low_bits - v.bit_length() + 1 if v else low_bits + 1
+        assert g == want
+
+
+def test_hll_estimate_merges_duplicate_register_rows():
+    """Concatenated per-shard register tables carry duplicate reg rows;
+    the estimate must combine them by MAX (last-write-wins silently
+    undercounts)."""
+    from html_parser_ray.functions.sketches import hll_estimate
+    hi = pa.table({"reg": pa.array([5], pa.int64()),
+                   "max_rank": pa.array([9], pa.int64())})
+    lo = pa.table({"reg": pa.array([5], pa.int64()),
+                   "max_rank": pa.array([2], pa.int64())})
+    merged_ab = hll_estimate(pa.concat_tables([hi, lo]), p=6)
+    merged_ba = hll_estimate(pa.concat_tables([lo, hi]), p=6)
+    assert merged_ab == merged_ba == hll_estimate(hi, p=6)
+
+
+def test_url_blocklist_nondefault_port_still_blocked(ray_session):
+    import ray
+    from html_parser_ray.functions.urls import url_blocklist_flags
+    tbl = pa.table({"url": pa.array(
+        ["http://spam.example.com:8080/x",
+         "http://sub.spam.example.com:8443/y",
+         "http://ok.example.com/z"], pa.string())})
+    rows = url_blocklist_flags(
+        ray.data.from_arrow(tbl), blocked_domains=["spam.example.com"],
+        blocked_substrings=[]).take_all()
+    assert [r["blocked"] for r in rows] == [1, 1, 0]
+    assert rows[0]["reason"] == "domain:spam.example.com"
+
+
+def test_broadcast_lookup_rejects_duplicate_dimension_keys(ray_session):
+    import pytest
+    import ray
+    from html_parser_ray.functions.joins import (broadcast_lookup,
+                                                 broadcast_lookup_outer)
+    dup = pa.table({"k": pa.array([2, 2], pa.int64()),
+                    "name": pa.array(["a", "b"], pa.string())})
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([2], pa.int64())}))
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_lookup(ds, dup, key="k", lookup_key="k",
+                         value_cols=["name"])
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_lookup_outer(ds, dup, key="k", lookup_key="k",
+                               value_cols=["name"])
+
+
+def test_delta_dedup_custom_id_col(ray_session):
+    import ray
+    from html_parser_ray.functions.dedup import delta_exact_dedup
+    ex = pa.table({"page_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["dup"], pa.string())})
+    new = pa.table({"page_id": pa.array([10, 11, 12], pa.int64()),
+                    "text": pa.array(["dup", "fresh", "fresh"],
+                                     pa.string())})
+    got = sorted((r["page_id"], r["text"]) for r in delta_exact_dedup(
+        ray.data.from_arrow(new), ray.data.from_arrow(ex),
+        id_col="page_id").take_all())
+    assert got == [(11, "fresh")]
 
 
 # ---------------------------------------------------------------------------
