@@ -720,10 +720,12 @@ def q_lm_filter(sf_dir: str):
     derives the threshold from the exact mean_bits_bp histogram
     (cardinality-bounded), pass 2 recomputes scores and filters; the
     corpus is never materialized."""
-    from html_parser_ray.functions.lmscore import lm_score
+    from html_parser_ray.functions.lmscore import (lm_score,
+                                                    lm_unigram_model)
     from html_parser_ray.functions.sketches import exact_quantiles
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    thr = exact_quantiles(lm_score(ds), "mean_bits_bp",
+    model = lm_unigram_model(ds)      # ONE count pass, shared by both
+    thr = exact_quantiles(lm_score(ds, model=model), "mean_bits_bp",
                           [5000]).column("value")[0].as_py()
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -732,7 +734,8 @@ def q_lm_filter(sf_dir: str):
         return pa.table({"doc_id": out.column("doc_id"),
                          "mean_bits_bp": out.column("mean_bits_bp")})
 
-    return lm_score(ds).map_batches(keep, batch_format="pyarrow")
+    return lm_score(ds, model=model).map_batches(keep,
+                                                 batch_format="pyarrow")
 
 
 def q_bigram_lm(sf_dir: str):
@@ -2495,12 +2498,12 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(s1, "
             "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips FROM e) "
             "SELECT doc_id, "
-            "regexp_replace(s2, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', "
+            "regexp_replace(s2, '\\+[0-9]{1,3}(?:-[0-9]{2,4}){2,3}', "
             "'[PHONE]', 'g') AS text, "
             "CAST(n_emails AS BIGINT) AS n_emails, "
             "CAST(n_ips AS BIGINT) AS n_ips, "
             "CAST(len(regexp_extract_all(s2, "
-            "'\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones "
+            "'\\+[0-9]{1,3}(?:-[0-9]{2,4}){2,3}')) AS BIGINT) AS n_phones "
             "FROM p"
         ),
         # url_canonical / host_rollup: the canonical form is derivable

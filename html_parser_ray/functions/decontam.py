@@ -81,8 +81,10 @@ def benchmark_snippets(ds, every: int = 97, skip: int = 2,
     return sorted(set(pc.unique(col.combine_chunks()).to_pylist()))
 
 
-# per-process cache: ObjectRef hex -> frozenset of snippets
-_SNIPPET_CACHE: dict[str, frozenset] = {}
+# per-process SINGLE-SLOT cache [key, frozenset]: a dict keyed by
+# ObjectRef hex pinned every past broadcast for the process lifetime
+# (repeated runs on long-lived workers leaked each old snippet set)
+_SNIPPET_CACHE: list = [None, None]
 
 
 def decontam_flags(ds, snippets: list[str], n_tokens: int = 13):
@@ -99,10 +101,10 @@ def decontam_flags(ds, snippets: list[str], n_tokens: int = 13):
     key = ref.hex()
 
     def flag(batch: pa.Table) -> pa.Table:
-        bench = _SNIPPET_CACHE.get(key)
-        if bench is None:
-            bench = frozenset(ray.get(ref))
-            _SNIPPET_CACHE[key] = bench
+        if _SNIPPET_CACHE[0] != key:
+            _SNIPPET_CACHE[0] = key
+            _SNIPPET_CACHE[1] = frozenset(ray.get(ref))
+        bench = _SNIPPET_CACHE[1]
         hits = np.zeros(batch.num_rows, dtype=np.int64)
         if bench:
             for i, text in enumerate(batch.column("text").to_pylist()):

@@ -157,8 +157,7 @@ def lsh_band_keys(sig: list[int], bands: int = 16) -> list[str]:
 # the ENTIRE simhash pipeline SQL-oracle-checkable — the r2 verdict's two
 # remaining rows-only queries become value-checked. Memoized like
 # _WORD_CACHE (zipfian vocab).
-def _md5_low64(w: str) -> int:
-    return _unpack_q(hashlib.md5(w.encode()).digest()[8:])[0]
+from .common import _md5_low64_str as _md5_low64  # noqa: E402
 
 
 def _blake2b_low64(w: str) -> int:

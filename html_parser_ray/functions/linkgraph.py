@@ -36,6 +36,7 @@ Scale shape:
 from __future__ import annotations
 
 import logging
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -46,15 +47,26 @@ logger = logging.getLogger(__name__)
 
 SCALE = 10**12
 
+# RFC-3986 scheme: letter then letters/digits/+/-/. followed by ':'
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
 
 def resolve_href(base_url: str, href: str) -> str:
     """Deterministic RFC-3986-style resolution of the href forms that
-    occur on the web: absolute, scheme-relative (//host/..),
+    occur on the web: absolute http(s), scheme-relative (//host/..),
     root-relative (/path), and path-relative. Fragments/queries ride
-    along unchanged (canonicalization is a separate operator)."""
+    along unchanged (canonicalization is a separate operator).
+
+    Non-web schemes (mailto:, javascript:, tel:, data:, ...) return ""
+    — the caller drops them — instead of being mangled into phantom
+    path-relative edges; a RELATIVE href that merely CONTAINS '://' in
+    its query (/redirect?to=http://x) resolves as the relative path it
+    is rather than being taken verbatim as absolute."""
     href = href.strip()
-    if "://" in href:
-        return href
+    m = _SCHEME_RE.match(href)
+    if m:
+        scheme_l = href[: m.end() - 1].lower()
+        return href if scheme_l in ("http", "https") else ""
     scheme, _, rest = base_url.partition("://")
     if href.startswith("//"):
         return f"{scheme}:{href}"
@@ -112,9 +124,12 @@ class LinkExtractStage:
                 href = next((v for k, v in node.attrs if k == "href"), None)
                 if href is None:
                     continue
+                dst = resolve_href(url, href)
+                if not dst:          # mailto:/javascript:/... — no edge
+                    continue
                 src_out.append(url)
                 href_out.append(href)
-                dst_out.append(resolve_href(url, href))
+                dst_out.append(dst)
                 anchor_out.append(self._anchor_text(node))
         return pa.table({
             "src_url": pa.array(src_out, pa.string()),

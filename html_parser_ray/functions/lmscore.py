@@ -33,11 +33,7 @@ import re
 
 import pyarrow as pa
 
-_WS = re.compile(r"[ \t\n\r\f]+")
-
-
-def _tokens_of(text: str) -> list[str]:
-    return [t for t in _WS.split(text.lower()) if t]
+from .common import _tokens_of
 
 
 def _ilog2(x: int) -> int:
@@ -68,16 +64,28 @@ def token_counts_table(ds, min_count: int = 1):
     return out
 
 
-def lm_score(ds, min_count: int = 1):
+def lm_unigram_model(ds, min_count: int = 1):
+    """ONE corpus count pass → (cnt_map, log_n). ``n_total`` (hence
+    ilog2(N)) is summed over the UNPRUNED counts — pruning must only
+    saturate already-rare tokens (cnt falls back to 1), never shift
+    every document's surprisal by changing N. Reusable: lm_filter's
+    threshold pass and output pass share one model."""
+    cnt_rows = token_counts_table(ds, min_count=1).take_all()
+    n_total = sum(r["cnt"] for r in cnt_rows)
+    cnt_map = {r["word"]: r["cnt"] for r in cnt_rows
+               if r["cnt"] >= min_count}
+    return cnt_map, (_ilog2(n_total) if n_total else 0)
+
+
+def lm_score(ds, min_count: int = 1, model=None):
     """Dataset[doc_id, text, ...] → Dataset(doc_id, n_tokens, nll_bits,
     mean_bits_bp) — unigram-LM surprisal per document (see module
-    docstring for the exact rule)."""
+    docstring for the exact rule). Pass ``model`` from
+    lm_unigram_model to reuse one count pass across calls."""
     import ray
 
-    cnt_rows = token_counts_table(ds, min_count=min_count).take_all()
-    cnt_map = {r["word"]: r["cnt"] for r in cnt_rows}
-    n_total = sum(cnt_map.values())
-    log_n = _ilog2(n_total) if n_total else 0
+    cnt_map, log_n = (model if model is not None
+                      else lm_unigram_model(ds, min_count))
     cnt_ref = ray.put(cnt_map)
 
     def score(batch: pa.Table) -> pa.Table:

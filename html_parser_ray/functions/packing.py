@@ -38,8 +38,9 @@ import pyarrow as pa
 
 from .textstats import ws_token_count
 
-# per-process cache of the broadcast range-offset table
-_OFFSET_CACHE: dict[str, dict] = {}
+# per-process SINGLE-SLOT cache [key, offsets] (a keyed dict would pin
+# every past broadcast for the worker lifetime)
+_OFFSET_CACHE: list = [None, None]
 
 
 def pack_spans(ds, *, example_len: int = 512, range_size: int = 4096,
@@ -79,10 +80,10 @@ def pack_spans(ds, *, example_len: int = 512, range_size: int = 4096,
 
     # level 3: vectorized intra-range scan, one call per range
     def scan_range(group: pa.Table) -> pa.Table:
-        cached = _OFFSET_CACHE.get(key)
-        if cached is None:
-            cached = ray.get(ref)
-            _OFFSET_CACHE[key] = cached
+        if _OFFSET_CACHE[0] != key:
+            _OFFSET_CACHE[0] = key
+            _OFFSET_CACHE[1] = ray.get(ref)
+        cached = _OFFSET_CACHE[1]
         g_rgs, g_start = cached
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         n = group.column("n_tokens").to_numpy(zero_copy_only=False)

@@ -34,9 +34,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-# per-process cache of ray.get-ed offset tables, keyed by ObjectRef hex
-# (same idiom as packing._OFFSET_CACHE)
-_OFFSET_CACHE: dict = {}
+# per-process SINGLE-SLOT cache [key, offsets] (same idiom as
+# packing._OFFSET_CACHE; a keyed dict would leak past broadcasts)
+_OFFSET_CACHE: list = [None, None]
 
 
 def global_rank(ds, *, col: str, id_col: str = "doc_id",
@@ -75,10 +75,10 @@ def global_rank(ds, *, col: str, id_col: str = "doc_id",
             return pa.table({id_col: pa.array([], pa.int64()),
                              col: pa.array([], pa.int64()),
                              "vb": pa.array([], pa.int64())})
-        cached = _OFFSET_CACHE.get(key)
-        if cached is None:
-            cached = ray.get(ref)
-            _OFFSET_CACHE[key] = cached
+        if _OFFSET_CACHE[0] != key:
+            _OFFSET_CACHE[0] = key
+            _OFFSET_CACHE[1] = ray.get(ref)
+        cached = _OFFSET_CACHE[1]
         vals, _ = cached
         v = batch.column(col).to_numpy(zero_copy_only=False)
         vb = (np.searchsorted(vals, v) // values_per_bucket).astype(np.int64)
@@ -87,10 +87,10 @@ def global_rank(ds, *, col: str, id_col: str = "doc_id",
                          "vb": pa.array(vb, pa.int64())})
 
     def rank_bucket(group: pa.Table) -> pa.Table:
-        cached = _OFFSET_CACHE.get(key)
-        if cached is None:
-            cached = ray.get(ref)
-            _OFFSET_CACHE[key] = cached
+        if _OFFSET_CACHE[0] != key:
+            _OFFSET_CACHE[0] = key
+            _OFFSET_CACHE[1] = ray.get(ref)
+        cached = _OFFSET_CACHE[1]
         vals, offs = cached
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         v = group.column(col).to_numpy(zero_copy_only=False)

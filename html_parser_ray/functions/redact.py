@@ -27,7 +27,9 @@ EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 # whenever a non-ASCII letter abuts the digit quad (e.g. "χ10.0.0.1").
 IPV4_RE = re.compile(
     r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", re.ASCII)
-PHONE_RE = re.compile(r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}")
+# 2-3 dash groups so the canonical NANP form +1-212-555-0187 (country
+# code + THREE groups) matches, not only +C-XXX-XXXX
+PHONE_RE = re.compile(r"\+[0-9]{1,3}(?:-[0-9]{2,4}){2,3}")
 
 EMAIL_TOKEN = "[EMAIL]"
 IP_TOKEN = "[IP]"

@@ -18,15 +18,10 @@ domains); this operator is not for high-cardinality keys.
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 import pyarrow as pa
 
-
-def _md5_low64_str(s: str) -> int:
-    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:])[0]
+from .common import _md5_low64_str
 
 
 def _topn_per_group(batch: pa.Table, group_col: str, id_col: str,

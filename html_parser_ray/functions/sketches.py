@@ -40,7 +40,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_WS = re.compile(r"[ \t\n\r\f]+")
+from .common import _tokens_of  # noqa: F401 (re-exported: invindex, cms)
 
 
 def misra_gries(tokens: list[str], capacity: int) -> dict[str, int]:
@@ -59,10 +59,6 @@ def misra_gries(tokens: list[str], capacity: int) -> dict[str, int]:
             for w in dead:
                 del counters[w]
     return counters
-
-
-def _tokens_of(text: str) -> list[str]:
-    return [t for t in _WS.split(text.lower()) if t]
 
 
 def heavy_hitter_words(ds, k: int = 10, capacity: int = 4096,
@@ -436,9 +432,8 @@ def range_partition(ds, col: str, n_buckets: int):
 # ---------------------------------------------------------------------------
 # count-min sketch (Cormode & Muthukrishnan 2005)
 
-# canonical cross-engine hash (= DuckDB md5_number_lower); ONE shared
-# definition — see sampling._md5_low64_str
-from .sampling import _md5_low64_str as _md5_low64  # noqa: E402
+# canonical cross-engine hash (= DuckDB md5_number_lower)
+from .common import _md5_low64_str as _md5_low64  # noqa: E402
 
 
 def cms_table(ds, *, width: int = 1024, depth: int = 4):

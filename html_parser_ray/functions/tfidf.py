@@ -30,11 +30,7 @@ import re
 
 import pyarrow as pa
 
-_WS = re.compile(r"[ \t\n\r\f]+")
-
-
-def _tokens_of(text: str) -> list[str]:
-    return [t for t in _WS.split(text.lower()) if t]
+from .common import _tokens_of
 
 
 def document_frequency(ds):

@@ -37,7 +37,12 @@ def _topk_in_batch(batch: pa.Table, group_col: str, value_col: str,
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     vals = batch.column(value_col).to_numpy(zero_copy_only=False)
     groups = np.array(batch.column(group_col).to_pylist(), dtype=object)
-    order = np.lexsort((ids, -vals, groups))
+    # dense-rank descending instead of numpy negation: -vals silently
+    # WRAPS for unsigned dtypes (uint64 hash keys) and is a no-op for
+    # INT64_MIN — either gives a wrong top-k with no error
+    _u, inv = np.unique(vals, return_inverse=True)
+    desc_rank = (len(_u) - 1) - inv
+    order = np.lexsort((ids, desc_rank, groups))
     g_sorted = groups[order]
     new_seg = np.ones(len(order), dtype=bool)
     new_seg[1:] = g_sorted[1:] != g_sorted[:-1]

@@ -78,15 +78,34 @@ def make_warc(records: list[tuple[str, str, bytes]],
 # reader
 
 def _gunzip_members(data: bytes):
-    """Yield each gzip member of a concatenated-members stream."""
+    """Yield (decompressed_member | None, error | None) per gzip member
+    of a concatenated-members stream.
+
+    The per-member input is a zero-copy memoryview slice — a bytes
+    slice here copied the whole remaining tail once per member, i.e.
+    O(file²) memcpy on CC's one-member-per-record layout (terabytes of
+    copying for a ~1 GB archive). A corrupt member yields ONE error
+    tuple and RESYNCS at the next gzip magic, so one torn member never
+    discards the rest of the archive's independently-valid members."""
+    view = memoryview(data)
     pos = 0
-    while pos < len(data):
+    n = len(data)
+    while pos < n:
         d = zlib.decompressobj(31)
-        yield d.decompress(data[pos:])
+        try:
+            chunk = d.decompress(view[pos:])
+        except zlib.error as exc:
+            yield None, f"gzip member at byte {pos}: {exc}"
+            nxt = data.find(_GZ_MAGIC + b"\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        yield chunk, None
         tail = d.unused_data
         if not tail:
             break
-        pos = len(data) - len(tail)
+        pos = n - len(tail)
 
 
 def _split_records(data: bytes):
@@ -126,21 +145,16 @@ def parse_warc(data: bytes) -> list[dict]:
     """bytes of one WARC file (plain or gzip-membered) → list of
     {url, warc_date, warc_type, payload: bytes, status, error}."""
     chunks = (_gunzip_members(data) if data[:2] == _GZ_MAGIC
-              else iter([data]))
+              else iter([(data, None)]))
     rows: list[dict] = []
-    while True:
-        # advance the member generator inside the quarantine: a corrupt
-        # gzip member (zlib.error) must yield an error row, not kill the
-        # whole read task for the file.
-        try:
-            chunk = next(chunks)
-        except StopIteration:
-            break
-        except zlib.error as exc:
+    for chunk, gz_err in chunks:
+        if gz_err is not None:
+            # per-member quarantine: record the torn member, keep
+            # reading the members after the resync point
             rows.append({"url": "", "warc_date": "", "warc_type": "",
                          "payload": b"", "status": "error",
-                         "error": f"gzip: {exc}"})
-            break
+                         "error": f"gzip: {gz_err}"})
+            continue
         try:
             for headers, block in _split_records(chunk):
                 row = {"url": "", "warc_date": "", "warc_type": "",

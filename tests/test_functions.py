@@ -1681,3 +1681,78 @@ def test_profile_columns_all_null_column(ray_session):
     r = rows[0]
     assert (r["n_nulls"], r["min_v"], r["max_v"], r["n_distinct"]) \
         == (2, "", "", 0)
+
+
+def test_grouped_topk_uint64_and_int64_min(ray_session):
+    """numpy negation wraps uint64 and fixes INT64_MIN — the dense-rank
+    ordering must rank both dtypes correctly."""
+    import ray
+    from html_parser_ray.functions.topk import grouped_topk
+    u = pa.table({
+        "g": pa.array(["a"] * 4, pa.string()),
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([1, 2 ** 63 + 5, 3, 2 ** 64 - 1], pa.uint64()),
+    })
+    got = sorted(r["doc_id"] for r in grouped_topk(
+        ray.data.from_arrow(u), group_col="g", value_col="v",
+        k=2).take_all())
+    assert got == [1, 3]                  # the two largest uint64 values
+    i = pa.table({
+        "g": pa.array(["a"] * 3, pa.string()),
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([-(2 ** 63), 5, -7], pa.int64()),
+    })
+    got = sorted(r["doc_id"] for r in grouped_topk(
+        ray.data.from_arrow(i), group_col="g", value_col="v",
+        k=2).take_all())
+    assert got == [1, 2]                  # INT64_MIN ranks LAST
+
+
+def test_resolve_href_schemes_and_query_urls():
+    from html_parser_ray.functions.linkgraph import resolve_href
+    base = "http://h1.example.com/d/3"
+    assert resolve_href(base, "mailto:jane@example.org") == ""
+    assert resolve_href(base, "javascript:void(0)") == ""
+    assert resolve_href(base, "tel:+1-212-555-0187") == ""
+    assert resolve_href(base, "data:text/plain,x") == ""
+    # relative path whose QUERY embeds an absolute URL
+    assert resolve_href(base, "/redirect?to=http://x") \
+        == "http://h1.example.com/redirect?to=http://x"
+    assert resolve_href(base, "HTTPS://other.com/p") == "HTTPS://other.com/p"
+    assert resolve_href(base, "//cdn.example.com/a") \
+        == "http://cdn.example.com/a"
+    assert resolve_href(base, "next") == "http://h1.example.com/d/next"
+
+
+def test_redact_nanp_phone_form():
+    from html_parser_ray.functions.redact import redact
+    out, _, _, n = redact("call +1-212-555-0187 or +44-555-0199 now")
+    assert n == 2 and "+1-212" not in out and "+44-555" not in out
+
+
+def test_warc_resyncs_after_corrupt_member():
+    import gzip
+    from html_parser_ray.sources.warc import make_warc_record, parse_warc
+    good1 = gzip.compress(make_warc_record(
+        "doc://1", "2024-01-01T00:00:00Z", b"one"))
+    good2 = gzip.compress(make_warc_record(
+        "doc://2", "2024-01-01T00:00:00Z", b"two"))
+    torn = good1[:12] + b"\x00\x00\x00\x00"   # valid magic, corrupt body
+    rows = parse_warc(good1 + torn + good2)
+    oks = [r for r in rows if r["status"] == "ok"]
+    errs = [r for r in rows if r["status"] == "error"]
+    # both valid members recovered, the torn one quarantined
+    assert sorted(r["url"] for r in oks) == ["doc://1", "doc://2"]
+    assert len(errs) >= 1 and "gzip" in errs[0]["error"]
+
+
+def test_lm_unigram_model_n_total_unaffected_by_pruning(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import lm_unigram_model
+    texts = ["common common common common", "rare1 rare2 rare3 rare4"]
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    m1 = lm_unigram_model(ray.data.from_arrow(tbl), min_count=1)
+    m2 = lm_unigram_model(ray.data.from_arrow(tbl), min_count=2)
+    assert m1[1] == m2[1]                 # log_n identical under pruning
+    assert "rare1" in m1[0] and "rare1" not in m2[0]
