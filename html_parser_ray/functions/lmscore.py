@@ -18,26 +18,55 @@ boilerplate hashes, foreign scripts) — the filtering signal. ilog2
 matches SQL `length(bin(cnt)) - 1` exactly; float log() across engines
 is the cross-engine hazard the simhash oracle hit, so it is avoided.
 
-Scale shape: pass 1 computes (word, cnt) with per-batch partial combine
-(only partial-count rows shuffle) + one vocabulary-bounded groupby; the
-count table is `ray.put` ONCE and read zero-copy by every scoring task.
-For unbounded vocabularies, `min_count` prunes the broadcast table —
-pruned tokens fall back to cnt=1 (max surprisal), which is also what any
-out-of-vocabulary token costs, so pruning only saturates the score of
-already-rare tokens.
+Scale shape (100-TB posture):
+- pass 1 computes (word, cnt) with per-batch partial combine (only
+  partial-count rows shuffle) + one vocabulary-bounded groupby;
+- ``n_total`` is a DISTRIBUTED Sum over the unpruned count table — the
+  unpruned vocabulary never reaches the driver;
+- the ``min_count`` prune runs INSIDE the dataset before any
+  ``take_all``; pruned tokens fall back to cnt=1 (max surprisal), which
+  is also what any out-of-vocabulary token costs, so pruning only
+  saturates the score of already-rare tokens and never shifts N;
+- the pruned table is broadcast (``ray.put`` once, zero-copy reads)
+  only while it fits ``broadcast_limit`` rows; past the limit the model
+  stays a Dataset and scoring switches to a partitioned LEFT OUTER join
+  (exploded (doc_id, word, occ) rows × count table) + one per-doc
+  groupby — same pattern as linkgraph.pagerank's distributed fallback.
+  Both paths produce bit-identical scores (pytest-pinned).
 """
 
 from __future__ import annotations
 
-import re
-
+import numpy as np
 import pyarrow as pa
 
 from .common import _tokens_of
 
+# Broadcast guard: rows of the (word, cnt) table shipped to the driver /
+# object store. ~50M rows ≈ low-GB pickled — fine for one node's heap;
+# web-scale hapax vocabularies blow past it and take the join path.
+DEFAULT_BROADCAST_LIMIT = 50_000_000
+
+
+class DistributedCounts:
+    """Marker model payload: the count table stayed a (materialized)
+    Dataset because it exceeded ``broadcast_limit``. Scoring dispatches
+    to the partitioned-join path when it sees this."""
+
+    def __init__(self, counts_ds):
+        self.counts_ds = counts_ds
+
 
 def _ilog2(x: int) -> int:
     return x.bit_length() - 1
+
+
+def _ilog2_np(arr: np.ndarray) -> np.ndarray:
+    """Vectorized floor(log2) for positive int64 — exact via frexp
+    (counts ≤ ~2^53 tokens ≫ any real corpus, so the float64 cast is
+    lossless; frexp(2^k) = (0.5, k+1) exactly, no log2 rounding)."""
+    _m, e = np.frexp(arr.astype(np.float64))
+    return (e - 1).astype(np.int64)
 
 
 def token_counts_table(ds, min_count: int = 1):
@@ -64,29 +93,49 @@ def token_counts_table(ds, min_count: int = 1):
     return out
 
 
-def lm_unigram_model(ds, min_count: int = 1):
-    """ONE corpus count pass → (cnt_map, log_n). ``n_total`` (hence
-    ilog2(N)) is summed over the UNPRUNED counts — pruning must only
-    saturate already-rare tokens (cnt falls back to 1), never shift
-    every document's surprisal by changing N. Reusable: lm_filter's
-    threshold pass and output pass share one model."""
-    cnt_rows = token_counts_table(ds, min_count=1).take_all()
-    n_total = sum(r["cnt"] for r in cnt_rows)
-    cnt_map = {r["word"]: r["cnt"] for r in cnt_rows
-               if r["cnt"] >= min_count}
-    return cnt_map, (_ilog2(n_total) if n_total else 0)
+def lm_unigram_model(ds, min_count: int = 1,
+                     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT):
+    """ONE corpus count pass → (payload, log_n) where payload is a
+    ``dict`` word→cnt (broadcast path) or a :class:`DistributedCounts`
+    (vocabulary > ``broadcast_limit`` — the table never leaves the
+    cluster). ``n_total`` (hence ilog2(N)) is a distributed Sum over the
+    UNPRUNED counts — pruning must only saturate already-rare tokens
+    (cnt falls back to 1), never shift every document's surprisal by
+    changing N. Reusable: lm_filter's threshold pass and output pass
+    share one model (the materialized table is reused on the join
+    path)."""
+    import pyarrow.compute as pc
+
+    counts = token_counts_table(ds, min_count=1).materialize()
+    n_total = counts.sum("cnt") or 0
+    log_n = _ilog2(n_total) if n_total else 0
+    pruned = counts
+    if min_count > 1:
+        pruned = counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("cnt"),
+                                                min_count)),
+            batch_format="pyarrow").materialize()
+    if pruned.count() > broadcast_limit:
+        return DistributedCounts(pruned), log_n
+    cnt_map = {r["word"]: r["cnt"] for r in pruned.take_all()}
+    return cnt_map, log_n
 
 
-def lm_score(ds, min_count: int = 1, model=None):
+def lm_score(ds, min_count: int = 1, model=None,
+             broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+             num_partitions: int = 16):
     """Dataset[doc_id, text, ...] → Dataset(doc_id, n_tokens, nll_bits,
     mean_bits_bp) — unigram-LM surprisal per document (see module
     docstring for the exact rule). Pass ``model`` from
     lm_unigram_model to reuse one count pass across calls."""
     import ray
 
-    cnt_map, log_n = (model if model is not None
-                      else lm_unigram_model(ds, min_count))
-    cnt_ref = ray.put(cnt_map)
+    payload, log_n = (model if model is not None
+                      else lm_unigram_model(ds, min_count, broadcast_limit))
+    if isinstance(payload, DistributedCounts):
+        return _lm_score_joined(ds, payload.counts_ds, log_n,
+                                num_partitions)
+    cnt_ref = ray.put(payload)
 
     def score(batch: pa.Table) -> pa.Table:
         cm = ray.get(cnt_ref)
@@ -107,6 +156,79 @@ def lm_score(ds, min_count: int = 1, model=None):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _finish_doc_scores(grouped):
+    """(doc_id, n_tokens, nll_bits) → + mean_bits_bp, column order pinned
+    to the broadcast path's output."""
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        nll = batch.column("nll_bits").to_numpy(zero_copy_only=False)
+        mean = np.where(n > 0, nll * 10_000 // np.maximum(n, 1), 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "nll_bits": batch.column("nll_bits"),
+            "mean_bits_bp": pa.array(mean, pa.int64()),
+        })
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
+
+
+def _lm_score_joined(ds, counts_ds, log_n: int, num_partitions: int):
+    """Over-limit path: per-doc token bags join the count Dataset on
+    ``word`` (LEFT OUTER — missing/pruned words fall back to cnt=1),
+    then one per-doc groupby sums the bits. Only (doc_id, word, occ)
+    rows and the count table shuffle; document text never does."""
+    from ray.data.aggregate import Max, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, words, occs, ntoks = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _tokens_of(text)
+            if not toks:
+                ids_out.append(doc_id)
+                words.append("")          # placeholder: occ=0 → bits=0
+                occs.append(0)
+                ntoks.append(0)
+                continue
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for w, c in tf.items():
+                ids_out.append(doc_id)
+                words.append(w)
+                occs.append(c)
+                ntoks.append(len(toks))
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "occ": pa.array(occs, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    joined = exploded.join(counts_ds, "left_outer", num_partitions,
+                           on=("word",))
+
+    def bits(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cnt = pc.fill_null(batch.column("cnt"), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        occ = batch.column("occ").to_numpy(zero_copy_only=False)
+        b = (log_n - _ilog2_np(np.maximum(cnt, 1))) * occ
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tok": batch.column("n_tok"),
+            "bits": pa.array(b, pa.int64()),
+        })
+
+    grouped = (joined.map_batches(bits, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Max("n_tok", alias_name="n_tokens"),
+                          Sum("bits", alias_name="nll_bits")))
+    return _finish_doc_scores(grouped)
 
 
 def bigram_counts_table(ds, min_count: int = 1):
@@ -141,7 +263,9 @@ def bigram_counts_table(ds, min_count: int = 1):
     return out
 
 
-def bigram_lm_score(ds, min_count: int = 1):
+def bigram_lm_score(ds, min_count: int = 1,
+                    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+                    num_partitions: int = 16):
     """Dataset[doc_id, text, ...] → Dataset(doc_id, n_tokens, nll_bits,
     mean_bits_bp) — bigram-conditional LM surprisal, integer-exact:
 
@@ -153,32 +277,39 @@ def bigram_lm_score(ds, min_count: int = 1):
     log2 cnt(w_prev) - log2 cnt(w_prev,w) — a strictly sharper quality
     signal than the unigram score (word-salad with common words scores
     high here and low there). Unseen/pruned lookups fall back to cnt=1
-    (max surprisal). Same two-pass broadcast shape as lm_score; the
-    bigram table is the one to prune via ``min_count`` at 100 TB."""
+    (max surprisal). Same bounded-broadcast-or-join shape as lm_score:
+    ``n_total`` is a distributed Sum, the ``min_count`` prune runs
+    inside the dataset, and past ``broadcast_limit`` the uni+bigram
+    tables stay Datasets and scoring becomes two partitioned LEFT OUTER
+    joins + one per-doc groupby (bit-identical, pytest-pinned)."""
     import ray
 
-    cnt_rows = token_counts_table(ds, min_count=1).take_all()
-    cnt_map = {r["word"]: r["cnt"] for r in cnt_rows}
-    n_total = sum(cnt_map.values())
+    uni = token_counts_table(ds, min_count=1).materialize()
+    n_total = uni.sum("cnt") or 0
     log_n = _ilog2(n_total) if n_total else 0
-    big_rows = bigram_counts_table(ds, min_count=min_count).take_all()
-    big_map = {(r["w1"], r["w2"]): r["cnt"] for r in big_rows}
+    big = bigram_counts_table(ds, min_count=min_count).materialize()
+
+    if uni.count() > broadcast_limit or big.count() > broadcast_limit:
+        return _bigram_joined(ds, uni, big, log_n, num_partitions)
+
+    cnt_map = {r["word"]: r["cnt"] for r in uni.take_all()}
+    big_map = {(r["w1"], r["w2"]): r["cnt"] for r in big.take_all()}
     uni_ref = ray.put(cnt_map)
     big_ref = ray.put(big_map)
 
     def score(batch: pa.Table) -> pa.Table:
-        uni = ray.get(uni_ref)
-        big = ray.get(big_ref)
+        uni_m = ray.get(uni_ref)
+        big_m = ray.get(big_ref)
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         n_toks, nlls, means = [], [], []
         for text in texts:
             toks = _tokens_of(text)
             if toks:
-                nll = log_n - _ilog2(uni.get(toks[0], 1))
+                nll = log_n - _ilog2(uni_m.get(toks[0], 1))
                 for a, b in zip(toks, toks[1:]):
-                    nll += max(0, _ilog2(uni.get(a, 1))
-                               - _ilog2(big.get((a, b), 1)))
+                    nll += max(0, _ilog2(uni_m.get(a, 1))
+                               - _ilog2(big_m.get((a, b), 1)))
             else:
                 nll = 0
             n_toks.append(len(toks))
@@ -192,3 +323,82 @@ def bigram_lm_score(ds, min_count: int = 1):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bigram_joined(ds, uni_ds, big_ds, log_n: int, num_partitions: int):
+    """Over-limit path for the bigram score. Row kinds from the explode:
+    kind=0 first-token rows (bits = log_n − ilog2(cnt1)), kind=1
+    adjacent-pair rows combined per doc (bits = max(0, ilog2(cnt1(w1)) −
+    ilog2(cnt2(w1,w2))) × occ), kind=2 empty-doc placeholders (bits=0).
+    Two LEFT OUTER joins attach cnt2 (on (w1,w2)) and cnt1 (on w1);
+    nulls — pruned or placeholder — fall back to 1 exactly like the
+    broadcast maps' ``.get(…, 1)``."""
+    from ray.data.aggregate import Max, Sum
+    import pyarrow.compute as pc
+
+    uni2 = uni_ds.map_batches(
+        lambda b: b.rename_columns(["w1", "cnt1"]),
+        batch_format="pyarrow")
+    big2 = big_ds.map_batches(
+        lambda b: b.rename_columns(["w1", "w2", "cnt2"]),
+        batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, kinds, w1s, w2s, occs, ntoks = [], [], [], [], [], []
+
+        def emit(doc_id, kind, w1, w2, occ, ntok):
+            ids_out.append(doc_id)
+            kinds.append(kind)
+            w1s.append(w1)
+            w2s.append(w2)
+            occs.append(occ)
+            ntoks.append(ntok)
+
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _tokens_of(text)
+            if not toks:
+                emit(doc_id, 2, "", "", 0, 0)
+                continue
+            emit(doc_id, 0, toks[0], "", 1, len(toks))
+            pf: dict[tuple[str, str], int] = {}
+            for a, b in zip(toks, toks[1:]):
+                pf[(a, b)] = pf.get((a, b), 0) + 1
+            for (a, b), c in pf.items():
+                emit(doc_id, 1, a, b, c, len(toks))
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "kind": pa.array(kinds, pa.int64()),
+            "w1": pa.array(w1s, pa.string()),
+            "w2": pa.array(w2s, pa.string()),
+            "occ": pa.array(occs, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    j1 = exploded.join(big2, "left_outer", num_partitions,
+                       on=("w1", "w2"))
+    j2 = j1.join(uni2, "left_outer", num_partitions, on=("w1",))
+
+    def bits(batch: pa.Table) -> pa.Table:
+        cnt1 = pc.fill_null(batch.column("cnt1"), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt2 = pc.fill_null(batch.column("cnt2"), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        occ = batch.column("occ").to_numpy(zero_copy_only=False)
+        il1 = _ilog2_np(np.maximum(cnt1, 1))
+        il2 = _ilog2_np(np.maximum(cnt2, 1))
+        b = np.where(kind == 0, log_n - il1,
+                     np.maximum(il1 - il2, 0)) * occ
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tok": batch.column("n_tok"),
+            "bits": pa.array(b, pa.int64()),
+        })
+
+    grouped = (j2.map_batches(bits, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Max("n_tok", alias_name="n_tokens"),
+                          Sum("bits", alias_name="nll_bits")))
+    return _finish_doc_scores(grouped)

@@ -1756,3 +1756,81 @@ def test_lm_unigram_model_n_total_unaffected_by_pruning(ray_session):
     m2 = lm_unigram_model(ray.data.from_arrow(tbl), min_count=2)
     assert m1[1] == m2[1]                 # log_n identical under pruning
     assert "rare1" in m1[0] and "rare1" not in m2[0]
+
+
+def _lm_canon(d):
+    rows = sorted(d.take_all(), key=lambda r: r["doc_id"])
+    return [(r["doc_id"], r["n_tokens"], r["nll_bits"], r["mean_bits_bp"])
+            for r in rows]
+
+
+_LM_TEXTS = ["the cat sat on the mat", "", "the the the zebra",
+             "quick brown fox", "cat cat dog", "a b c d e f g h"]
+
+
+def test_lm_score_joined_path_bit_identical(ray_session):
+    """broadcast_limit=0 forces the partitioned-join fallback; scores
+    must be bit-identical to the broadcast path (incl. empty docs)."""
+    import ray
+    from html_parser_ray.functions.lmscore import lm_score
+    tbl = pa.table({"doc_id": pa.array(range(len(_LM_TEXTS)), pa.int64()),
+                    "text": pa.array(_LM_TEXTS, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    assert _lm_canon(lm_score(ds)) == \
+        _lm_canon(lm_score(ds, broadcast_limit=0, num_partitions=4))
+
+
+def test_lm_unigram_model_over_limit_is_distributed(ray_session):
+    """Past broadcast_limit the model payload is a DistributedCounts
+    (the vocabulary never reaches the driver) and is reusable across
+    lm_score calls — lm_filter's shared-model contract."""
+    import ray
+    from html_parser_ray.functions.lmscore import (DistributedCounts,
+                                                   lm_score,
+                                                   lm_unigram_model)
+    tbl = pa.table({"doc_id": pa.array(range(len(_LM_TEXTS)), pa.int64()),
+                    "text": pa.array(_LM_TEXTS, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = lm_unigram_model(ds, min_count=2, broadcast_limit=0)
+    assert isinstance(model[0], DistributedCounts)
+    s1 = _lm_canon(lm_score(ds, model=model, num_partitions=4))
+    s2 = _lm_canon(lm_score(ds, model=model, num_partitions=4))  # reuse
+    assert s1 == s2 == _lm_canon(lm_score(ds, min_count=2))
+
+
+def test_bigram_lm_joined_path_bit_identical(ray_session):
+    import ray
+    from html_parser_ray.functions.lmscore import bigram_lm_score
+    tbl = pa.table({"doc_id": pa.array(range(len(_LM_TEXTS)), pa.int64()),
+                    "text": pa.array(_LM_TEXTS, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    assert _lm_canon(bigram_lm_score(ds)) == \
+        _lm_canon(bigram_lm_score(ds, broadcast_limit=0, num_partitions=4))
+    # and with the min_count prune applied inside the dataset
+    assert _lm_canon(bigram_lm_score(ds, min_count=2)) == \
+        _lm_canon(bigram_lm_score(ds, min_count=2, broadcast_limit=0,
+                                  num_partitions=4))
+
+
+def test_top_terms_joined_path_and_min_df(ray_session):
+    """Join fallback ≡ broadcast; min_df prunes candidacy (a doc whose
+    every word is pruned yields the ('', 0, 0, 0) placeholder)."""
+    import ray
+    from html_parser_ray.functions.tfidf import top_terms
+    texts = _LM_TEXTS + ["zzz zzz unique"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+
+    def canon(d):
+        rows = sorted(d.take_all(), key=lambda r: r["doc_id"])
+        return [(r["doc_id"], r["top_term"], r["tf"], r["df"], r["score"])
+                for r in rows]
+
+    assert canon(top_terms(ds, len(texts))) == \
+        canon(top_terms(ds, len(texts), broadcast_limit=0,
+                        num_partitions=4))
+    b = canon(top_terms(ds, len(texts), min_df=2))
+    assert b == canon(top_terms(ds, len(texts), min_df=2,
+                                broadcast_limit=0, num_partitions=4))
+    assert b[6][1:] == ("", 0, 0, 0)      # all words of doc 6 pruned
