@@ -139,8 +139,20 @@ class LinkExtractStage:
         })
 
 
-def extract_links(ds, concurrency=(2, 8), batch_size: int = 64):
-    """Dataset[url, html, ...] → Dataset[src_url, href, dst_url]."""
+def extract_links(ds, concurrency=None, batch_size: int = 16):
+    """Dataset[url, html, ...] → Dataset[src_url, href, dst_url].
+
+    ``concurrency=None`` sizes a FIXED actor pool to ~75% of cluster
+    CPUs — the extract_pages rule (stages/extract.py): autoscaling pools
+    ramp too slowly for short jobs (measured 2.5x slower there) and a
+    full-CPU pool starves the upstream read tasks. batch_size matches
+    extract_pages' byte-aware 16-row bundles (each row is a full HTML
+    parse)."""
+    if concurrency is None:
+        import ray
+        n = (int(ray.cluster_resources().get("CPU", 4))
+             if ray.is_initialized() else 4)
+        concurrency = max(2, int(n * 0.75))
     return ds.map_batches(LinkExtractStage, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size)
 
@@ -204,6 +216,48 @@ def _node_base(n_nodes: int, scale: int) -> tuple[int, int]:
     return init, (15 * init) // 100
 
 
+class _PagerankShardImpl:
+    """Actor holding one shard of the edge list as index-resolved,
+    dst-sorted numpy arrays. Built ONCE (host searchsorted + sort +
+    segment boundaries at init); each power iteration is then a single
+    vectorized ``contrib(ranks)`` call returning the shard's sparse
+    (dst_index, contribution_sum) pair — the shared-read-only-index case
+    where a raw actor beats re-launching a Dataset pipeline per
+    iteration."""
+
+    def __init__(self, hosts: np.ndarray, out_w: np.ndarray, block_refs):
+        import ray
+        tbls = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        if not tbls:
+            self._si = np.empty(0, np.int64)
+            self._w = np.empty(0, np.int64)
+            self._ow_si = np.empty(0, np.int64)
+            self._uniq = np.empty(0, np.int64)
+            self._starts = np.empty(0, np.int64)
+            return
+        edges = pa.concat_tables(tbls)
+        src = np.array(edges.column("src_host").to_pylist(), dtype=object)
+        dst = np.array(edges.column("dst_host").to_pylist(), dtype=object)
+        w = edges.column("weight").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(hosts, src)
+        di = np.searchsorted(hosts, dst)
+        order = np.argsort(di, kind="stable")
+        self._si = si[order]
+        self._w = w[order].astype(np.int64)
+        self._ow_si = out_w[self._si]
+        di_sorted = di[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = di_sorted[1:] != di_sorted[:-1]
+        self._uniq = di_sorted[first]
+        self._starts = np.flatnonzero(first)
+
+    def contrib(self, ranks: np.ndarray):
+        if len(self._si) == 0:
+            return self._uniq, np.empty(0, np.int64)
+        c = ranks[self._si] * self._w // self._ow_si
+        return self._uniq, np.add.reduceat(c, self._starts)
+
+
 def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
              broadcast_limit: int = 20_000_000, num_partitions: int = 8):
     """Dataset[src_host, dst_host, weight] → Dataset[host, rank] after
@@ -213,70 +267,84 @@ def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
     max edge weight < 2^63/scale (~9.2M at the default scale=10^12 —
     lower `scale` for graphs with heavier parallel-edge counts)."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     edges = edges_ds.materialize()           # re-read every iteration
 
-    # distinct hosts via aggregate (vectorized — NOT per-group map_groups)
-    hosts_ds = edges.map_batches(
-        lambda b: pa.table({"host": pa.concat_arrays(
-            [b.column("src_host").combine_chunks(),
-             b.column("dst_host").combine_chunks()])}),
-        batch_format="pyarrow").groupby("host") \
-        .aggregate(Count(alias_name="_n")).select_columns(["host"]) \
+    # ONE fused shuffle computes the node table AND out-weights: every
+    # src row contributes its weight, every dst row contributes 0, so
+    # groupby(host).Sum gives (host, out_w) with dangling hosts at 0 —
+    # previously two separate groupby jobs whose fixed cost dominated
+    # small graphs (r3: ~2 s of the 4 s pagerank tail at sf0.1).
+    def node_partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_host").to_pylist()
+        dst = batch.column("dst_host").to_pylist()
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        acc: dict[str, int] = {}
+        for h, wt in zip(src, w):
+            acc[h] = acc.get(h, 0) + int(wt)
+        for h in dst:
+            acc.setdefault(h, 0)
+        return pa.table({"host": pa.array(list(acc), pa.string()),
+                         "out_w": pa.array(list(acc.values()), pa.int64())})
+
+    node_ds = edges.map_batches(node_partials, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("out_w", alias_name="out_w")) \
         .materialize()
-    n_nodes = hosts_ds.count()
+    n_nodes = node_ds.count()
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
             "host": pa.array([], pa.string()),
             "rank": pa.array([], pa.int64())}))
     init, base = _node_base(n_nodes, scale)
 
-    out_w_ds = edges.groupby("src_host").aggregate(
-        Sum("weight", alias_name="out_w"))
-
     if n_nodes > broadcast_limit:
+        hosts_ds = node_ds.select_columns(["host"])
+        out_w_ds = node_ds.map_batches(
+            lambda b: b.rename_columns(["src_host", "out_w"]),
+            batch_format="pyarrow")
         return _pagerank_distributed(edges, hosts_ds, out_w_ds, iters,
                                      init, base, num_partitions)
 
-    # broadcast path: ranks live on the driver (n_nodes ≤ limit), edges
-    # stream through map_batches with a vectorized searchsorted lookup.
-    hosts = np.array(sorted(
-        r["host"] for r in hosts_ds.take_all()), dtype=object)
-    out_w = np.zeros(len(hosts), dtype=np.int64)
-    for r in out_w_ds.take_all():
-        out_w[np.searchsorted(hosts, r["src_host"])] = r["out_w"]
+    # broadcast path: ranks live on the driver (n_nodes ≤ limit); the
+    # edge list is indexed ONCE into per-shard sorted numpy arrays held
+    # by a small actor pool, so each of the K iterations is P actor RPCs
+    # running pure segment-sum kernels — no Dataset job, shuffle, or
+    # driver-side groupby per iteration (the r3 verdict's K-driver-syncs
+    # cost: 8.7–10 s at sf0.1 came almost entirely from K pipeline
+    # launches, not the arithmetic).
+    node_rows = node_ds.take_all()
+    order = sorted(range(len(node_rows)),
+                   key=lambda i: node_rows[i]["host"])
+    hosts = np.array([node_rows[i]["host"] for i in order], dtype=object)
+    out_w = np.array([node_rows[i]["out_w"] for i in order],
+                     dtype=np.int64)
     ranks = np.full(len(hosts), init, dtype=np.int64)
+
     hosts_ref = ray.put(hosts)
-
-    for _ in range(iters):
-        state_ref = ray.put((ranks, out_w))
-
-        def contrib(batch: pa.Table) -> pa.Table:
-            hs = ray.get(hosts_ref)
-            rk, ow = ray.get(state_ref)
-            src = np.array(batch.column("src_host").to_pylist(),
-                           dtype=object)
-            dst = np.array(batch.column("dst_host").to_pylist(),
-                           dtype=object)
-            w = batch.column("weight").to_numpy(zero_copy_only=False)
-            si = np.searchsorted(hs, src)
-            di = np.searchsorted(hs, dst)
-            c = rk[si] * w // ow[si]
-            # partial combine within the batch
-            uniq, inv = np.unique(di, return_inverse=True)
-            sums = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(sums, inv, c)
-            return pa.table({"di": pa.array(uniq, pa.int64()),
-                             "c": pa.array(sums, pa.int64())})
-
-        contrib_rows = edges.map_batches(
-            contrib, batch_format="pyarrow").groupby("di").aggregate(
-            Sum("c", alias_name="c")).take_all()
-        new = np.full(len(hosts), base, dtype=np.int64)
-        for r in contrib_rows:
-            new[r["di"]] += (85 * r["c"]) // 100
-        ranks = new
+    ow_ref = ray.put(out_w)
+    block_refs = edges.to_arrow_refs()
+    n_edges = edges.count()
+    # one shard actor per ~250k edges: a tiny graph pays for ONE actor
+    # spawn, a 100-TB host graph fans out to the full pool
+    n_actors = max(1, min(len(block_refs), 8, 1 + n_edges // 250_000))
+    shard_cls = ray.remote(num_cpus=1)(_PagerankShardImpl)
+    shards = [
+        shard_cls.remote(hosts_ref, ow_ref, block_refs[i::n_actors])
+        for i in range(n_actors)
+    ]
+    try:
+        for _ in range(iters):
+            ranks_ref = ray.put(ranks)
+            parts = ray.get([s.contrib.remote(ranks_ref)
+                             for s in shards])
+            acc = np.zeros(len(hosts), dtype=np.int64)
+            for di, sums in parts:
+                np.add.at(acc, di, sums)
+            ranks = base + (85 * acc) // 100
+    finally:
+        for s in shards:
+            ray.kill(s)
 
     return ray.data.from_arrow(pa.table({
         "host": pa.array(list(hosts), pa.string()),
