@@ -961,27 +961,25 @@ def dedup_keep_best(docs_ds, pairs_ds, scores_ds, *,
     id — the curation-grade canonical rule (among near-identical crawls
     keep the longest / highest-quality capture, not the earliest).
 
-    Scale shape: CC labels (dup docs only) semi-join against the compact
-    (id, score) table — the score side streams, only 8-B key markers
-    broadcast; the per-component argmax is ONE vectorized np.unique
-    segment reduction per hash partition (delta_exact_dedup's pattern);
-    the payload filter reuses ``_apply_drop``. The payload itself moves
-    at most once, and only above ``broadcast_limit``."""
-    from .joins import semi_join
+    Scale shape: CC labels (dup docs only) and the compact (id, score)
+    table stream into ONE tagged-union co-shuffle on id hash — no
+    separate semi-join pass: the per-partition merge drops score rows
+    with no component label (``in_graph``), which filters exactly what
+    the semi-join used to, one full pass over the score table earlier.
+    The per-component argmax is ONE vectorized np.unique segment
+    reduction per hash partition (delta_exact_dedup's pattern); the
+    payload filter reuses ``_apply_drop``. The payload itself moves at
+    most once, and only above ``broadcast_limit``."""
 
     comp = connected_components(pairs_ds).materialize()
-    comp_ids = comp.map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+    # full compact score table; non-dup rows die at merge_in_part's
+    # in_graph mask — cheaper than a dedicated semi-join pass since
+    # both would read every (id, score) row once anyway
+    dup_scores = scores_ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column(id_col).cast(pa.int64()),
+            "score": b.column(score_col).cast(pa.int64())}),
         batch_format="pyarrow")
-    # scores restricted to dup-graph members (compact small side)
-    dup_scores = semi_join(
-        scores_ds.map_batches(
-            lambda b: pa.table({
-                "doc_id": b.column(id_col).cast(pa.int64()),
-                "score": b.column(score_col).cast(pa.int64())}),
-            batch_format="pyarrow"),
-        comp_ids, on="doc_id",
-        broadcast_limit=broadcast_limit, num_partitions=num_partitions)
 
     # attach component to each scored dup doc: tagged union + one
     # compact co-shuffle on doc_id hash, vectorized merge per partition
