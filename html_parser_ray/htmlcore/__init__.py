@@ -7,6 +7,7 @@ serialization, chunking, patching, tokenization, streaming.
 
 from .api import (  # noqa: F401
     Budgets, BudgetExceededError, ParseError, ParseTree,
+    WHATWG_PARSE_ERRORS_SECTION_URL, get_parse_error_spec_ref,
     normalize_parse_error_id, parse, parse_bytes, parse_fragment,
 )
 from .extract import (  # noqa: F401

@@ -99,6 +99,25 @@ def normalize_parse_error_id(raw: str) -> str:
     return f"vendor:{normalized}"
 
 
+# WHATWG HTML parsing spec, parse-errors section (public URL; the
+# reference pins the SECTION anchor for every id rather than per-error
+# anchors — parity requires the same, mod.ts:257,274-279)
+WHATWG_PARSE_ERRORS_SECTION_URL = (
+    "https://html.spec.whatwg.org/multipage/parsing.html#parse-errors")
+
+
+def get_parse_error_spec_ref(parse_error_id: str) -> str:
+    """Spec reference URL for a parse-error id — the debugging hook a
+    user follows from an extract `status`/error payload to the WHATWG
+    definition. Reference parity: `getParseErrorSpecRef`
+    (src/public/mod.ts:274-279) deterministically returns the
+    parse-errors SECTION anchor for every id (WHATWG or vendor:*) —
+    the spec's per-error anchors are deliberately NOT guessed at, so
+    the mapping can never dangle when the spec renames an anchor."""
+    _ = parse_error_id
+    return WHATWG_PARSE_ERRORS_SECTION_URL
+
+
 # --------------------------------------------------------------------------
 # select/option compatibility patch (reference: src/internal/tree/build.ts:307-381)
 

@@ -3,10 +3,14 @@
 Ray-Data-native core operator (SURVEY.md §2.2 M1-M12): a callable CLASS for
 ``ds.map_batches(ExtractStage, batch_format="pyarrow", concurrency=(a, b))``.
 Warm per-actor state (compiled regexes, entity trie, interned tables) is
-loaded once at import/__init__; ``__call__`` processes one zero-copy Arrow
-batch of raw ``html`` bytes per invocation and never raises on a bad row —
-failures become ``status`` / ``error`` columns so one pathological document
-cannot poison a batch retry loop at 10^12-doc scale.
+loaded once at import/__init__; ``__call__`` receives one Arrow batch of
+raw ``html`` bytes per invocation (zero-copy from the object store UP TO
+the stage boundary; the ``to_pylist()`` handoff into the Python kernel
+copies each row's bytes once — unavoidable for a pure-Python parser, and
+irrelevant next to the parse itself, which is the vectorization unit
+here: one row = one full HTML parse) and never raises on a bad row —
+failures become ``status`` / ``error`` columns so one pathological
+document cannot poison a batch retry loop at 10^12-doc scale.
 """
 
 from __future__ import annotations

@@ -94,7 +94,96 @@ def media_table(n_rows: int, start: int = 0) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# decode kernels (codec boundary — the ONLY stubbed part)
+# decode kernels (codec boundary — the only partially-stubbed part:
+# PNG decodes for real via the from-scratch decoder below; JPEG/WebP/…
+# would use PIL when present and raise otherwise)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec filters 0-4: None, Sub, Up,
+    Average, Paeth — public PNG spec §9). Sequential by construction
+    (each row depends on the previous); rows are small, this is the
+    bridge path, not the 100-TB hot path."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 1:                          # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:                        # Up
+            row = (row + prev) & 0xFF
+        elif ftype == 3:                        # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                        # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG: bad filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Minimal from-scratch PNG decoder (public spec, stdlib zlib):
+    8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace.
+    Returns (width, height, 3, HxWx3 uint8) — gray is expanded and
+    alpha dropped so the feature stage sees one layout. Written for the
+    FAKE→real decode bridge; a production image corpus would swap in a
+    turbo codec behind the same signature."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    width = height = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                       # 4 len + 4 type + 4 crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG bridge decoder: unsupported depth={depth} "
+            f"color={color} interlace={interlace}")
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: truncated pixel data")
+    arr = _png_unfilter(raw, height, stride, channels) \
+        .reshape(height, width, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif channels == 4:
+        arr = arr[:, :, :3]
+    return width, height, 3, np.ascontiguousarray(arr)
+
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload.startswith(b"FAKEIMG1"):
@@ -102,14 +191,16 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=13,
                                count=width * height * channels)
         return width, height, channels, pixels.reshape(height, width, channels)
+    if payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)               # real decode, no deps
     if _HAVE_PIL:  # pragma: no cover — no PIL in this container
         import io
         img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
         arr = np.asarray(img)
         return img.width, img.height, 3, arr
     raise NotImplementedError(
-        "real image codecs unavailable in this container; only the FAKEIMG1 "
-        "container decodes (SURVEY.md: multimodal decode is stubbed)")
+        "no codec for this image format in this container (PNG decodes "
+        "via the built-in bridge decoder; JPEG/WebP need PIL)")
 
 
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
@@ -169,6 +260,17 @@ class ImageFeatureStage:
                 out["mean_luma_bp"].append(0)
                 out["phash"].append(0)
                 out["status"].append("codec_unavailable")
+            except Exception:
+                # corrupt/truncated payload — quarantine the ROW (a
+                # 100-TB crawl always contains torn bytes), never the
+                # batch
+                out["media_id"].append(mid)
+                out["width"].append(0)
+                out["height"].append(0)
+                out["channels"].append(0)
+                out["mean_luma_bp"].append(0)
+                out["phash"].append(0)
+                out["status"].append("decode_error")
         return pa.table({
             "media_id": pa.array(out["media_id"], pa.int64()),
             "width": pa.array(out["width"], pa.int64()),
@@ -207,6 +309,10 @@ class ImageResizeStage:
                 out_ids.append(mid)
                 out_payloads.append(b"")
                 status.append("codec_unavailable")
+            except Exception:
+                out_ids.append(mid)
+                out_payloads.append(b"")
+                status.append("decode_error")
         return pa.table({
             "media_id": pa.array(out_ids, pa.int64()),
             "payload": pa.array(out_payloads, pa.binary()),

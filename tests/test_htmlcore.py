@@ -392,3 +392,33 @@ def test_holdout_serializer_dd_vs_dt_end_tag():
         serialize_fixture_token_stream as fser)
     assert fser([["EndTag", "dd"]], {}) == ""
     assert fser([["EndTag", "dt"]], {}) == "</dt>"
+
+
+def test_get_parse_error_spec_ref_reference_parity():
+    """Parity with getParseErrorSpecRef (reference src/public/mod.ts:
+    274-279): every id — WHATWG, vendor:*, or garbage — maps to the
+    WHATWG parse-errors SECTION anchor. The expected URL is read from
+    the reference source so a reference-side change would fail here
+    rather than silently diverge."""
+    import re
+    from html_parser_ray.htmlcore import (WHATWG_PARSE_ERRORS_SECTION_URL,
+                                          get_parse_error_spec_ref)
+    src = open("/root/reference/src/public/mod.ts").read()
+    m = re.search(
+        r'WHATWG_PARSE_ERRORS_SECTION_URL = "([^"]+)"', src)
+    assert m, "reference constant moved"
+    assert WHATWG_PARSE_ERRORS_SECTION_URL == m.group(1)
+    for pid in ["unexpected-null-character", "eof-in-tag",
+                "vendor:unknown", "vendor:weird", "", "UPPER case"]:
+        assert get_parse_error_spec_ref(pid) == m.group(1)
+
+
+def test_get_parse_error_spec_ref_composes_with_parse_errors():
+    """Every parse_error_id a real parse emits resolves to a spec ref
+    (the user-facing debugging path: error payload -> spec URL)."""
+    from html_parser_ray.htmlcore import get_parse_error_spec_ref, parse
+    tree = parse("<html><b><i></b></i>\x00")
+    assert tree.errors, "expected parse errors from adoption + NUL"
+    for err in tree.errors:
+        ref = get_parse_error_spec_ref(err.parse_error_id)
+        assert ref.startswith("https://html.spec.whatwg.org/")

@@ -61,7 +61,9 @@ def test_unknown_codec_quarantined_not_raised():
         "source_url": pa.array(["x"], pa.string()),
     })
     out = ImageFeatureStage()(tbl)
-    assert out.column("status").to_pylist() == ["codec_unavailable"]
+    # PNG magic with a torn body is now a real decode attempt that
+    # fails — quarantined per row as decode_error, never raised
+    assert out.column("status").to_pylist() == ["decode_error"]
 
 
 def test_audio_features_batch():
@@ -100,3 +102,128 @@ def test_media_pool_dataset(ray_session):
         media_pool(ds, ImageFeatureStage, batch_size=8).take_all())
     assert out.num_rows == tbl.num_rows
     assert set(out.column("status").to_pylist()) == {"ok"}
+
+
+# ---------------------------------------------------------------------------
+# real-codec bridge: from-scratch PNG decode (no PIL needed)
+
+def _encode_png(arr, color_type: int, row_filters) -> bytes:
+    """Test-side PNG encoder: filters each scanline with the given
+    filter type (0-4, PNG spec §9) so the decoder's unfilter paths are
+    all exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    assert c == {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        raw = flat[y]
+        f = row_filters[y % len(row_filters)]
+        filt = raw.copy()
+        if f == 1:
+            for i in range(stride - 1, c - 1, -1):
+                filt[i] = (raw[i] - raw[i - c]) & 0xFF
+        elif f == 2:
+            filt = (raw - prev) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = raw[i - c] if i >= c else 0
+                filt[i] = (raw[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = raw[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                filt[i] = (raw[i] - pred) & 0xFF
+        lines.append(f)
+        lines += bytes(int(v) for v in filt)
+        prev = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_roundtrip_all_filters():
+    import numpy as np
+    from html_parser_ray.stages.multimodal import decode_png
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _encode_png(arr, 2, filters)
+        w, h, c, got = decode_png(payload)
+        assert (w, h, c) == (7, 11, 3)
+        assert np.array_equal(got, arr), f"filters={filters}"
+
+
+def test_png_decode_gray_and_alpha_normalize_to_rgb():
+    import numpy as np
+    from html_parser_ray.stages.multimodal import decode_png
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    w, h, c, got = decode_png(_encode_png(gray, 0, [0, 2]))
+    assert (w, h, c) == (9, 5, 3)
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    w, h, c, got = decode_png(_encode_png(rgba, 6, [4, 1]))
+    assert (w, h, c) == (4, 6, 3)
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest
+    from html_parser_ray.stages.multimodal import decode_png
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth is out of the bridge decoder's scope
+    import numpy as np
+    payload = bytearray(_encode_png(
+        np.zeros((2, 2, 3), np.uint8), 2, [0]))
+    payload[24] = 16                      # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(payload))
+
+
+def test_image_feature_stage_decodes_real_png(ray_session):
+    """The FAKE->real bridge: a genuine PNG payload flows through the
+    actor stage with status=ok and real dimensions — the plumbing is no
+    longer the only tested part."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from html_parser_ray.stages.multimodal import ImageFeatureStage
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array(
+            [_encode_png(arr, 2, [0, 1, 2, 3, 4]), b"GIF89a??"],
+            pa.binary()),
+        "source_url": pa.array(["https://x/a.png", "https://x/b.gif"],
+                               pa.string()),
+    })
+    rows = sorted(ray.data.from_arrow(tbl).map_batches(
+        ImageFeatureStage, concurrency=1, batch_size=4,
+        batch_format="pyarrow").take_all(),
+        key=lambda r: r["media_id"])
+    assert rows[0]["status"] == "ok"
+    assert (rows[0]["width"], rows[0]["height"]) == (10, 12)
+    assert rows[0]["mean_luma_bp"] == int(round(
+        float(arr.astype(np.float64).mean()) / 255.0 * 10_000))
+    assert rows[1]["status"] == "codec_unavailable"   # GIF needs PIL

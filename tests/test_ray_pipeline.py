@@ -148,6 +148,72 @@ def test_resumable_extract_replaces_partial_shard_output(ray_session,
     assert total == 30
 
 
+def test_resumable_extract_exactly_once_after_worker_sigkill(
+        ray_session, tmp_path, monkeypatch):
+    """Cluster-grade failure injection for the resume story: the first
+    task of the second shard SIGKILLs its own worker process mid-
+    pipeline (between extract and the shard's parquet write). Ray must
+    retry the died task on a fresh worker, the run must complete, and
+    the output must be EXACTLY-ONCE — identical (url, status, text)
+    rows to a clean run, no dropped or duplicated docs."""
+    import signal
+
+    from html_parser_ray.pipelines import resumable
+    from html_parser_ray.sources.synth import write_pages_parquet
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_pages_parquet(os.path.join(in_dir, "a.parquet"), 30, seed=1)
+    write_pages_parquet(os.path.join(in_dir, "b.parquet"), 30, seed=2,
+                        start=30)
+
+    def collect(out_dir):
+        rows = []
+        for shard in sorted(os.listdir(out_dir)):
+            if not shard.startswith("shard="):
+                continue
+            for f in sorted(os.listdir(os.path.join(out_dir, shard))):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(out_dir, shard, f),
+                                      columns=["url", "status", "text"])
+                    rows += list(zip(t.column("url").to_pylist(),
+                                     t.column("status").to_pylist(),
+                                     t.column("text").to_pylist()))
+        return sorted(rows)
+
+    clean_out = str(tmp_path / "clean")
+    resumable.run_resumable_extract(in_dir, clean_out, files_per_shard=1,
+                                    concurrency=2, batch_size=32)
+    expected = collect(clean_out)
+    assert len(expected) == 60
+
+    # crash injection: one extra map stage that SIGKILLs its worker the
+    # first time any task runs with no marker file present (marker is
+    # written BEFORE the kill so the retried task passes through)
+    marker = str(tmp_path / "crashed.marker")
+    real_pipeline = resumable.extract_pipeline
+
+    def crashing_pipeline(pages, **kw):
+        def maybe_crash(batch):
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("boom")
+                os.kill(os.getpid(), signal.SIGKILL)
+            return batch
+
+        return real_pipeline(pages, **kw).map_batches(
+            maybe_crash, batch_format="pyarrow")
+
+    monkeypatch.setattr(resumable, "extract_pipeline", crashing_pipeline)
+    crash_out = str(tmp_path / "crash")
+    counters = resumable.run_resumable_extract(
+        in_dir, crash_out, files_per_shard=1, concurrency=2,
+        batch_size=32)
+    assert os.path.exists(marker), "injection never fired"
+    assert counters["docs"] == 60
+    assert collect(crash_out) == expected
+
+
 def test_exact_dedup_dataset(ray_session):
     import ray
     from html_parser_ray.functions.dedup import exact_dedup
