@@ -1720,69 +1720,26 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "extract_visible_text": q_extract_visible_text,
-        "extract_rollup_by_lang": q_extract_rollup_by_lang,
-        "exact_dedup": q_exact_dedup,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "quality_features": q_quality_features,
-        "quality_scores": q_quality_scores,
-        "langid": q_langid,
-        "repetition_features": q_repetition_features,
-        "decontam": q_decontam,
-        "nfc_normalize": q_nfc_normalize,
-        "shuffle_shards": q_shuffle_shards,
-        "pack_spans": q_pack_spans,
-        "dup_clusters": q_dup_clusters,
-        "grouped_topk": q_grouped_topk,
-        "lm_filter": q_lm_filter,
-        "anchor_rollup": q_anchor_rollup,
-        "delta_dedup": q_delta_dedup,
-        "hll_registers": q_hll_registers,
-        "c4_clean": q_c4_clean,
-        "url_blocklist": q_url_blocklist,
-        "curate_pipeline": q_curate_pipeline,
-        "customers_with_orders": q_customers_with_orders,
-        "range_partition": q_range_partition,
-        "minhash_dedup_best": q_minhash_dedup_best,
-        "split_assign": q_split_assign,
-        "nation_lookup_outer": q_nation_lookup_outer,
-        "dedup_lines": q_dedup_lines,
-        "bigram_lm": q_bigram_lm,
-        "customers_without_orders": q_customers_without_orders,
-        "pii_redact": q_pii_redact,
-        "url_canonical": q_url_canonical,
-        "host_rollup": q_host_rollup,
-        "link_graph": q_link_graph,
-        "host_pagerank": q_host_pagerank,
-        "lm_score": q_lm_score,
-        "stratified_sample": q_stratified_sample,
-        "warc_extract": q_warc_extract,
-        "dedup_spans": q_dedup_spans,
-        "heavy_hitters": q_heavy_hitters,
-        "inverted_index": q_inverted_index,
-        "cms_registers": q_cms,
-        "bloom_registers": q_bloom,
-        "group_balance": q_group_balance,
-        "hll_by_group": q_hll_by_group,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "shard_roundtrip": q_shard_roundtrip,
-        "profile_table": q_profile_table,
-        "grouped_quantiles": q_grouped_quantiles,
-        "global_rank": q_global_rank,
+    # Ordering policy (r3 verdict item 2): the grading driver value-checks
+    # the FIRST 50 entries. Queries that have never appeared in a
+    # CORRECTNESS_r* file (or errored in r2) come first, then queries last
+    # checked in r1/r2, then r3-green queries whose operators changed this
+    # round; long-stable r3-green queries close the list.
         "distinct_by_lang": q_distinct_by_lang,
         "delta_dedup_bloom": q_delta_dedup_bloom,
         "quantiles": q_quantiles,
         "top_terms": q_top_terms,
+        "extract_full": q_extract_full,
+        "knn_join": q_knn_join,
+        "label_centroids": q_label_centroids,
         "simhash": q_simhash,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "minhash_dedup": q_minhash_dedup,
         "clean_corpus": q_clean_corpus,
-        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_dedup": q_embedding_dedup,
         "main_content": q_main_content,
-        "extract_full": q_extract_full,
         "pdf_extract": q_pdf_extract,
         "outline": q_outline,
         "serialize_roundtrip": q_serialize_roundtrip,
@@ -1798,13 +1755,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "knn_join": q_knn_join,
-        "label_centroids": q_label_centroids,
         "revenue_by_nation": q_revenue_by_nation,
         "purchase_attribution": q_purchase_attribution,
         "purchase_error_window": q_purchase_error_window,
         "top_users_by_value": q_top_users_by_value,
         "pricing_summary": q_pricing_summary,
+        "extract_visible_text": q_extract_visible_text,
+        "extract_rollup_by_lang": q_extract_rollup_by_lang,
+        "lm_score": q_lm_score,
+        "lm_filter": q_lm_filter,
+        "bigram_lm": q_bigram_lm,
+        "host_pagerank": q_host_pagerank,
+        "link_graph": q_link_graph,
+        "anchor_rollup": q_anchor_rollup,
+        "minhash_dedup_best": q_minhash_dedup_best,
+        "dup_clusters": q_dup_clusters,
+        "exact_dedup": q_exact_dedup,
+        "delta_dedup": q_delta_dedup,
+        "curate_pipeline": q_curate_pipeline,
+        "c4_clean": q_c4_clean,
+        "warc_extract": q_warc_extract,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_features": q_quality_features,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "repetition_features": q_repetition_features,
+        "decontam": q_decontam,
+        "nfc_normalize": q_nfc_normalize,
+        "shuffle_shards": q_shuffle_shards,
+        "pack_spans": q_pack_spans,
+        "grouped_topk": q_grouped_topk,
+        "hll_registers": q_hll_registers,
+        "url_blocklist": q_url_blocklist,
+        "customers_with_orders": q_customers_with_orders,
+        "range_partition": q_range_partition,
+        "split_assign": q_split_assign,
+        "nation_lookup_outer": q_nation_lookup_outer,
+        "dedup_lines": q_dedup_lines,
+        "customers_without_orders": q_customers_without_orders,
+        "pii_redact": q_pii_redact,
+        "url_canonical": q_url_canonical,
+        "host_rollup": q_host_rollup,
+        "stratified_sample": q_stratified_sample,
+        "dedup_spans": q_dedup_spans,
+        "heavy_hitters": q_heavy_hitters,
+        "inverted_index": q_inverted_index,
+        "cms_registers": q_cms,
+        "bloom_registers": q_bloom,
+        "group_balance": q_group_balance,
+        "hll_by_group": q_hll_by_group,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "shard_roundtrip": q_shard_roundtrip,
+        "profile_table": q_profile_table,
+        "grouped_quantiles": q_grouped_quantiles,
+        "global_rank": q_global_rank,
     }
 
 
