@@ -1834,3 +1834,28 @@ def test_top_terms_joined_path_and_min_df(ray_session):
     assert b == canon(top_terms(ds, len(texts), min_df=2,
                                 broadcast_limit=0, num_partitions=4))
     assert b[6][1:] == ("", 0, 0, 0)      # all words of doc 6 pruned
+
+
+def test_lm_filter_flow_with_distributed_model(ray_session):
+    """lm_filter's two-pass shape (threshold from pass 1, filter in
+    pass 2, ONE shared model) must hold when the model is over the
+    broadcast limit: both passes run the join path off the same
+    materialized count table and select the same doc set as the
+    broadcast flow."""
+    import ray
+    from html_parser_ray.functions.lmscore import lm_score, lm_unigram_model
+    from html_parser_ray.functions.sketches import exact_quantiles
+    texts = _LM_TEXTS * 3
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+
+    def kept_ids(model):
+        scored = lm_score(ds, model=model, num_partitions=4)
+        thr = exact_quantiles(scored, "mean_bits_bp",
+                              [5000]).column("value")[0].as_py()
+        return sorted(r["doc_id"] for r in scored.take_all()
+                      if r["mean_bits_bp"] <= thr)
+
+    assert kept_ids(lm_unigram_model(ds)) == \
+        kept_ids(lm_unigram_model(ds, broadcast_limit=0))
