@@ -961,25 +961,34 @@ def dedup_keep_best(docs_ds, pairs_ds, scores_ds, *,
     id — the curation-grade canonical rule (among near-identical crawls
     keep the longest / highest-quality capture, not the earliest).
 
-    Scale shape: CC labels (dup docs only) and the compact (id, score)
-    table stream into ONE tagged-union co-shuffle on id hash — no
-    separate semi-join pass: the per-partition merge drops score rows
-    with no component label (``in_graph``), which filters exactly what
-    the semi-join used to, one full pass over the score table earlier.
-    The per-component argmax is ONE vectorized np.unique segment
-    reduction per hash partition (delta_exact_dedup's pattern); the
-    payload filter reuses ``_apply_drop``. The payload itself moves at
-    most once, and only above ``broadcast_limit``."""
+    Scale shape: CC labels (dup docs only) semi-join against the compact
+    (id, score) table — below ``broadcast_limit`` dup-graph members the
+    marker set broadcasts and the score side streams map-only, so ONLY
+    dup members' (id, score) rows enter the tagged-union co-shuffle
+    (at 10^12 docs with a few % dup rate that is a ~20-50× shuffle-
+    volume cut; an r4 experiment that dropped the semi-join and let
+    merge_in_part's in_graph mask do the filtering shuffled the WHOLE
+    score table and was reverted — the filter must run before the
+    exchange, not after). The per-component argmax is ONE vectorized
+    np.unique segment reduction per hash partition
+    (delta_exact_dedup's pattern); the payload filter reuses
+    ``_apply_drop``. The payload itself moves at most once, and only
+    above ``broadcast_limit``."""
+    from .joins import semi_join
 
     comp = connected_components(pairs_ds).materialize()
-    # full compact score table; non-dup rows die at merge_in_part's
-    # in_graph mask — cheaper than a dedicated semi-join pass since
-    # both would read every (id, score) row once anyway
-    dup_scores = scores_ds.map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column(id_col).cast(pa.int64()),
-            "score": b.column(score_col).cast(pa.int64())}),
+    comp_ids = comp.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
         batch_format="pyarrow")
+    # scores restricted to dup-graph members (compact small side)
+    dup_scores = semi_join(
+        scores_ds.map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column(id_col).cast(pa.int64()),
+                "score": b.column(score_col).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        comp_ids, on="doc_id",
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions)
 
     # attach component to each scored dup doc: tagged union + one
     # compact co-shuffle on doc_id hash, vectorized merge per partition

@@ -326,8 +326,13 @@ def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
     block_refs = edges.to_arrow_refs()
     n_edges = edges.count()
     # one shard actor per ~250k edges: a tiny graph pays for ONE actor
-    # spawn, a 100-TB host graph fans out to the full pool
-    n_actors = max(1, min(len(block_refs), 8, 1 + n_edges // 250_000))
+    # spawn, a 100-TB host graph fans out to the pool. Hard-capped at
+    # half the cluster's CPUs — each shard holds a num_cpus=1 slot for
+    # its lifetime, and a pool that outsizes the cluster leaves actors
+    # pending forever with the driver's ray.get hung on them.
+    cpu_cap = max(1, int(ray.cluster_resources().get("CPU", 2) * 0.5))
+    n_actors = max(1, min(len(block_refs), 8, cpu_cap,
+                          1 + n_edges // 250_000))
     shard_cls = ray.remote(num_cpus=1)(_PagerankShardImpl)
     shards = [
         shard_cls.remote(hosts_ref, ow_ref, block_refs[i::n_actors])

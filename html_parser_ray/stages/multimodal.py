@@ -232,26 +232,12 @@ class ImageFeatureStage:
         out = {"media_id": [], "width": [], "height": [], "channels": [],
                "mean_luma_bp": [], "phash": [], "status": []}
         for mid, payload in zip(ids, payloads):
+            # only the DECODE is quarantine-guarded — corrupt/torn
+            # payloads are normal in a crawl and quarantine the ROW; a
+            # failure in the feature math below would be a code bug and
+            # must stay loud, not masquerade as decode_error
             try:
                 w, h, c, arr = _decode_image(payload)
-                luma = float(arr.astype(np.float64).mean()) / 255.0
-                # 64-bit average-hash over an 8x8 downsample (public aHash)
-                gray = arr.mean(axis=2)
-                ys = np.linspace(0, h - 1, 8).astype(int)
-                xs = np.linspace(0, w - 1, 8).astype(int)
-                small = gray[np.ix_(ys, xs)]
-                bits = (small > small.mean()).flatten()
-                phash = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        phash |= 1 << i
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["mean_luma_bp"].append(int(round(luma * 10_000)))
-                out["phash"].append(phash & ((1 << 63) - 1))
-                out["status"].append("ok")
             except NotImplementedError:
                 out["media_id"].append(mid)
                 out["width"].append(0)
@@ -260,10 +246,8 @@ class ImageFeatureStage:
                 out["mean_luma_bp"].append(0)
                 out["phash"].append(0)
                 out["status"].append("codec_unavailable")
+                continue
             except Exception:
-                # corrupt/truncated payload — quarantine the ROW (a
-                # 100-TB crawl always contains torn bytes), never the
-                # batch
                 out["media_id"].append(mid)
                 out["width"].append(0)
                 out["height"].append(0)
@@ -271,6 +255,25 @@ class ImageFeatureStage:
                 out["mean_luma_bp"].append(0)
                 out["phash"].append(0)
                 out["status"].append("decode_error")
+                continue
+            luma = float(arr.astype(np.float64).mean()) / 255.0
+            # 64-bit average-hash over an 8x8 downsample (public aHash)
+            gray = arr.mean(axis=2)
+            ys = np.linspace(0, h - 1, 8).astype(int)
+            xs = np.linspace(0, w - 1, 8).astype(int)
+            small = gray[np.ix_(ys, xs)]
+            bits = (small > small.mean()).flatten()
+            phash = 0
+            for i, b in enumerate(bits):
+                if b:
+                    phash |= 1 << i
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["mean_luma_bp"].append(int(round(luma * 10_000)))
+            out["phash"].append(phash & ((1 << 63) - 1))
+            out["status"].append("ok")
         return pa.table({
             "media_id": pa.array(out["media_id"], pa.int64()),
             "width": pa.array(out["width"], pa.int64()),
@@ -295,24 +298,26 @@ class ImageResizeStage:
         payloads = batch.column("payload").to_pylist()
         out_ids, out_payloads, status = [], [], []
         for mid, payload in zip(ids, payloads):
-            try:
+            try:   # decode-only guard (see ImageFeatureStage)
                 w, h, c, arr = _decode_image(payload)
-                ys = np.linspace(0, h - 1, self.th).astype(int)
-                xs = np.linspace(0, w - 1, self.tw).astype(int)
-                small = arr[np.ix_(ys, xs)]
-                out_ids.append(mid)
-                out_payloads.append(
-                    b"FAKEIMG1" + struct.pack("<HHB", self.tw, self.th, c)
-                    + small.tobytes())
-                status.append("ok")
             except NotImplementedError:
                 out_ids.append(mid)
                 out_payloads.append(b"")
                 status.append("codec_unavailable")
+                continue
             except Exception:
                 out_ids.append(mid)
                 out_payloads.append(b"")
                 status.append("decode_error")
+                continue
+            ys = np.linspace(0, h - 1, self.th).astype(int)
+            xs = np.linspace(0, w - 1, self.tw).astype(int)
+            small = arr[np.ix_(ys, xs)]
+            out_ids.append(mid)
+            out_payloads.append(
+                b"FAKEIMG1" + struct.pack("<HHB", self.tw, self.th, c)
+                + small.tobytes())
+            status.append("ok")
         return pa.table({
             "media_id": pa.array(out_ids, pa.int64()),
             "payload": pa.array(out_payloads, pa.binary()),
