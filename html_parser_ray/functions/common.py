@@ -25,3 +25,26 @@ def _tokens_of(text: str) -> list[str]:
 
 def _md5_low64_str(s: str) -> int:
     return _unpack_q(hashlib.md5(s.encode()).digest()[8:])[0]
+
+
+def bounded_take_all(ds, *, what: str, limit: int = 20_000_000):
+    """Materialize a SMALL Dataset (a histogram / per-group table) and
+    collect it to the driver with a fail-loud cardinality guard.
+
+    The operators that call this are exact by design and assume the
+    collected table is bounded by value/group cardinality, not corpus
+    size. When a pathological column breaks that assumption (e.g.
+    exact quantiles over a near-unique column at 10^12 rows), a silent
+    driver OOM is the worst failure mode — raise with the actual count
+    and the remediation instead. ``count()`` after ``materialize()`` is
+    metadata-only, so the guard costs no extra pass."""
+    mat = ds.materialize()
+    n = mat.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: collected table has {n:,} rows, over the "
+            f"driver-side limit of {limit:,} — the bounded-cardinality "
+            "assumption this exact operator relies on does not hold for "
+            "this input (coarsen the values, pre-bucket the column, or "
+            "use a sketch-based variant)")
+    return mat.take_all()

@@ -55,8 +55,11 @@ def global_rank(ds, *, col: str, id_col: str = "doc_id",
         return pa.table({col: pa.array(uniq.astype(np.int64), pa.int64()),
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(col).aggregate(Sum("n", alias_name="n")).take_all())
+    from .common import bounded_take_all
+    hist = bounded_take_all(
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(col).aggregate(Sum("n", alias_name="n")),
+        what=f"global_rank value histogram over '{col}'")
     if not hist:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),

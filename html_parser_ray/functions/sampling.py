@@ -146,11 +146,13 @@ def group_balance(ds, *, group_col: str, id_col: str = "doc_id",
     import ray
     from ray.data.aggregate import Sum
 
-    counts = (ds.map_batches(
-        lambda b: _partial_group_counts(b, group_col),
-        batch_format="pyarrow")
-        .groupby(group_col).aggregate(Sum("n", alias_name="n"))
-        .take_all())
+    from .common import bounded_take_all
+    counts = bounded_take_all(
+        ds.map_batches(
+            lambda b: _partial_group_counts(b, group_col),
+            batch_format="pyarrow")
+        .groupby(group_col).aggregate(Sum("n", alias_name="n")),
+        what=f"group_balance group counts over '{group_col}'")
     if not counts:
         return ds
     cnt = {r[group_col]: int(r["n"]) for r in counts}

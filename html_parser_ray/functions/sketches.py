@@ -120,8 +120,11 @@ def exact_quantiles(ds, col: str, q_bps: list[int]):
         return pa.table({"value": pa.array(uniq, pa.int64()),
                          "n": pa.array(cnt, pa.int64())})
 
-    hist = ds.map_batches(value_counts, batch_format="pyarrow") \
-        .groupby("value").aggregate(Sum("n", alias_name="n")).take_all()
+    from .common import bounded_take_all
+    hist = bounded_take_all(
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("value").aggregate(Sum("n", alias_name="n")),
+        what=f"exact_quantiles value histogram over '{col}'")
     hist.sort(key=lambda r: r["value"])
     counts = np.array([r["n"] for r in hist], dtype=np.int64)
     values = np.array([r["value"] for r in hist], dtype=np.int64)

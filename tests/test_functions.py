@@ -1859,3 +1859,18 @@ def test_lm_filter_flow_with_distributed_model(ray_session):
 
     assert kept_ids(lm_unigram_model(ds)) == \
         kept_ids(lm_unigram_model(ds, broadcast_limit=0))
+
+
+def test_bounded_take_all_guard_fails_loud(ray_session):
+    """The exact histogram/group collectors must raise (with count and
+    remediation) instead of silently OOMing the driver when the
+    bounded-cardinality assumption breaks."""
+    import pytest
+    import ray
+    from html_parser_ray.functions.common import bounded_take_all
+    tbl = pa.table({"v": pa.array(range(100), pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    rows = bounded_take_all(ds, what="test", limit=100)
+    assert len(rows) == 100
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        bounded_take_all(ds, what="test", limit=99)
