@@ -90,6 +90,24 @@ class ParseTree:
         return self.ids[id(node)]
 
 
+_RECURSION_HEADROOM = 15_000
+
+
+def ensure_recursion_headroom() -> None:
+    """The tree walkers (extraction, serialization, id maps, select
+    patch) recurse one Python frame per DOM level, but CPython's
+    default limit (1000) sits far below the 4096-depth budget the
+    pipeline admits — without this, any document deeper than ~990
+    was quarantined as a RecursionError even though the reference
+    parses and extracts it. On CPython ≥3.11 Python-to-Python calls
+    do not consume C stack, so raising the limit is safe; 15k covers
+    the 4096 budget with margin for the walkers' per-level helper
+    frames and nested fragment re-parses."""
+    import sys
+    if sys.getrecursionlimit() < _RECURSION_HEADROOM:
+        sys.setrecursionlimit(_RECURSION_HEADROOM)
+
+
 def normalize_parse_error_id(raw: str) -> str:
     normalized = raw.strip()
     if not normalized:
@@ -188,25 +206,21 @@ def _assign_id_maps(children: list) -> tuple[dict[int, int], dict[int, object]]:
 
 
 def _compute_metrics(children: list) -> tuple[int, int]:
-    # metrics (reference: collectMetrics mod.ts:441-473)
-    def metrics(node, depth: int) -> tuple[int, int]:
-        if not isinstance(node, Element):
-            return 1, depth
-        nodes, max_depth = 1, depth
-        for child in node.children:
-            cn, cd = metrics(child, depth + 1)
-            nodes += cn
-            if cd > max_depth:
-                max_depth = cd
-        return nodes, max_depth
-
-    total, max_depth = 0, 1
-    for child in children:
-        cn, cd = metrics(child, 2)
-        total += cn
-        if cd > max_depth:
-            max_depth = cd
-    return total + 1, max_depth
+    # metrics (reference: collectMetrics mod.ts:441-473) — iterative:
+    # this walk runs on EVERY parse, and an explicit stack beats one
+    # Python frame per node (count/max are order-insensitive)
+    total, max_depth = 1, 1                      # the document node
+    stack = [(c, 2) for c in children]
+    while stack:
+        node, depth = stack.pop()
+        total += 1
+        if depth > max_depth:
+            max_depth = depth
+        if isinstance(node, Element) and node.children:
+            child_depth = depth + 1
+            for child in node.children:
+                stack.append((child, child_depth))
+    return total, max_depth
 
 
 def _record_tree_budget_errors(children: list, budgets: Budgets | None,
@@ -219,14 +233,19 @@ def _record_tree_budget_errors(children: list, budgets: Budgets | None,
     max_attr_bytes = budgets.max_attribute_bytes
     if max_nodes is None and max_depth is None and max_attrs is None and max_attr_bytes is None:
         return
-    count = [0]
+    count = 0
 
     def budget_error(code: str) -> ParseError:
         # codes match the WHATWG id pattern, so normalization emits them
         # bare — like the reference's normalizeParseErrorId (mod.ts:260-269)
         return ParseError("PARSER_ERROR", normalize_parse_error_id(code), code)
 
-    def visit(node, depth: int) -> None:
+    # iterative pre-order (reversed pushes preserve the recursive
+    # emission order exactly) — one frame per node blew the recursion
+    # limit on deep-but-in-budget documents
+    stack = [(c, 0) for c in reversed(children)]
+    while stack:
+        node, depth = stack.pop()
         if isinstance(node, Element):
             if max_attrs is not None and len(node.attrs) > max_attrs:
                 errors.append(
@@ -235,17 +254,14 @@ def _record_tree_budget_errors(children: list, budgets: Budgets | None,
                 total = sum(len(n) + len(v) for n, v in node.attrs)
                 if total > max_attr_bytes:
                     errors.append(budget_error("max-attribute-bytes-exceeded"))
-        count[0] += 1
+        count += 1
         if max_depth is not None and depth > max_depth:
             errors.append(budget_error("max-depth-exceeded"))
-        if max_nodes is not None and count[0] > max_nodes:
+        if max_nodes is not None and count > max_nodes:
             errors.append(budget_error("max-nodes-exceeded"))
         if isinstance(node, Element):
-            for child in node.children:
-                visit(child, depth + 1)
-
-    for child in children:
-        visit(child, 0)
+            for child in reversed(node.children):
+                stack.append((child, depth + 1))
 
 
 def _enforce(budget: str, limit: int | None, actual: int) -> None:
@@ -287,6 +303,7 @@ def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
 def parse(html: str, *, scripting_enabled: bool = True,
           capture_spans: bool = False, budgets: Budgets | None = None,
           trace: bool = False) -> ParseTree:
+    ensure_recursion_headroom()
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
     time_start = _time_budget_start(budgets)
@@ -390,6 +407,7 @@ def parse_fragment(html: str, context_tag_name: str, *,
     normalized_context = context_tag_name.strip().lower()
     if not normalized_context:
         raise ValueError("contextTagName must be a non-empty tag name")
+    ensure_recursion_headroom()
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
     time_start = _time_budget_start(budgets)

@@ -422,3 +422,57 @@ def test_get_parse_error_spec_ref_composes_with_parse_errors():
     for err in tree.errors:
         ref = get_parse_error_spec_ref(err.parse_error_id)
         assert ref.startswith("https://html.spec.whatwg.org/")
+
+
+def test_deep_document_within_budget_extracts():
+    """A 4,000-deep document sits inside the pipeline's 4,096 depth
+    budget and must parse AND extract (the reference handles it; with
+    CPython's default 1,000-frame recursion limit every walker died at
+    ~990 and the row was wrongly quarantined)."""
+    from html_parser_ray.htmlcore.api import Budgets, parse
+    from html_parser_ray.htmlcore.extract import (outline, serialize,
+                                                  text_content,
+                                                  visible_text)
+    depth = 4_000
+    html = "<body>" + "<div>" * depth + "deep text" + "</div>" * depth
+    budgets = Budgets(max_nodes=2_000_000, max_depth=4_096)
+    tree = parse(html, budgets=budgets)
+    assert tree.max_depth == depth + 4  # html>body>div*depth>text
+    assert visible_text(tree) == "deep text"
+    assert "deep text" in text_content(tree)
+    assert serialize(tree).count("<div>") == depth
+    assert outline(tree) == []
+
+
+def test_deep_document_over_budget_raises_budget_error():
+    """Deeper than the budget → BudgetExceededError (the quarantine
+    signal), NOT a RecursionError from the walkers."""
+    import pytest
+    from html_parser_ray.htmlcore.api import (BudgetExceededError,
+                                              Budgets, parse)
+    html = "<body>" + "<i>" * 5_000 + "x"
+    with pytest.raises(BudgetExceededError) as ei:
+        parse(html, budgets=Budgets(max_depth=4_096))
+    assert ei.value.payload["budget"] == "maxDepth"
+
+
+def test_deep_document_through_extract_stage(ray_session):
+    """End-to-end: the actor stage emits status=ok with the right text
+    for an in-budget deep page, and a budget status for an over-budget
+    one — neither poisons the batch."""
+    import pyarrow as pa
+    from html_parser_ray.stages.extract import ExtractStage
+    deep_ok = ("<body>" + "<div>" * 4000 + "deep text"
+               + "</div>" * 4000).encode()
+    too_deep = ("<body>" + "<div>" * 5000 + "x").encode()
+    batch = pa.table({
+        "url": pa.array(["http://a/ok", "http://a/deep"], pa.string()),
+        "html": pa.array([deep_ok, too_deep], pa.binary()),
+    })
+    out = ExtractStage()(batch)
+    rows = {u: (s, t) for u, s, t in zip(out.column("url").to_pylist(),
+                                         out.column("status").to_pylist(),
+                                         out.column("text").to_pylist())}
+    assert rows["http://a/ok"] == ("ok", "deep text")
+    assert rows["http://a/deep"][0] != "ok"
+    assert "RecursionError" not in (rows["http://a/deep"][1] or "")
