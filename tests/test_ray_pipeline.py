@@ -214,6 +214,92 @@ def test_resumable_extract_exactly_once_after_worker_sigkill(
     assert collect(crash_out) == expected
 
 
+def test_resumable_extract_resumes_after_driver_sigkill(
+        ray_session, tmp_path):
+    """The preemption story end-to-end: a SEPARATE driver process (own
+    local Ray cluster) runs the resumable job and is SIGKILLed — whole
+    process group, like a preempted node — after at least one shard's
+    manifest entry lands. A resumed run must complete the remaining
+    shards only, and the final output must be exactly-once equal to a
+    clean run."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    from html_parser_ray.pipelines.resumable import run_resumable_extract
+    from html_parser_ray.sources.synth import write_pages_parquet
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i in range(4):
+        write_pages_parquet(os.path.join(in_dir, f"{i}.parquet"), 20,
+                            seed=i + 1, start=i * 20)
+
+    def collect(out_dir):
+        rows = []
+        for shard in sorted(os.listdir(out_dir)):
+            if not shard.startswith("shard="):
+                continue
+            for f in sorted(os.listdir(os.path.join(out_dir, shard))):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(out_dir, shard, f),
+                                      columns=["url", "status"])
+                    rows += list(zip(t.column("url").to_pylist(),
+                                     t.column("status").to_pylist()))
+        return sorted(rows)
+
+    clean_out = str(tmp_path / "clean")
+    run_resumable_extract(in_dir, clean_out, files_per_shard=1,
+                          concurrency=2, batch_size=16)
+    expected = collect(clean_out)
+    assert len(expected) == 80
+
+    crash_out = str(tmp_path / "crash")
+    child_src = (
+        "import ray, sys\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False)\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from html_parser_ray.pipelines.resumable import run_resumable_extract\n"
+        f"run_resumable_extract({in_dir!r}, {crash_out!r}, files_per_shard=1,\n"
+        "                      concurrency=2, batch_size=16)\n")
+    # own session → killpg reaps the child's raylet/gcs too (a SIGKILLed
+    # driver must not leak a second Ray cluster into later tests)
+    child = subprocess.Popen([_sys.executable, "-c", child_src],
+                             start_new_session=True,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+    manifest_dir = os.path.join(crash_out, "_manifest")
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            done = [f for f in os.listdir(manifest_dir)
+                    if f.endswith(".json")] if os.path.isdir(
+                        manifest_dir) else []
+            if done:
+                break
+            if child.poll() is not None:
+                raise AssertionError(
+                    "child driver finished before it could be killed — "
+                    "shrink shard size")
+            time.sleep(0.2)
+        else:
+            raise AssertionError("no shard completed within 180s")
+        os.killpg(child.pid, signal.SIGKILL)
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait()
+
+    n_done_at_kill = len([f for f in os.listdir(manifest_dir)
+                          if f.endswith(".json")])
+    assert 1 <= n_done_at_kill < 4
+    counters = run_resumable_extract(in_dir, crash_out, files_per_shard=1,
+                                     concurrency=2, batch_size=16)
+    assert counters["docs"] == 80
+    assert collect(crash_out) == expected
+
+
 def test_exact_dedup_dataset(ray_session):
     import ray
     from html_parser_ray.functions.dedup import exact_dedup
