@@ -100,10 +100,19 @@ def ensure_recursion_headroom() -> None:
     pipeline admits — without this, any document deeper than ~990
     was quarantined as a RecursionError even though the reference
     parses and extracts it. On CPython ≥3.11 Python-to-Python calls
-    do not consume C stack, so raising the limit is safe; 15k covers
-    the 4096 budget with margin for the walkers' per-level helper
-    frames and nested fragment re-parses."""
+    do not consume C stack, so raising the limit is safe there; 15k
+    covers the 4096 budget with margin for the walkers' per-level
+    helper frames and nested fragment re-parses. On older interpreters
+    the bump is NOT applied (deep frames there live on the C stack and
+    a raised limit trades RecursionError for a possible segfault —
+    deep documents quarantine instead, the pre-fix behavior). Note for
+    3.12+: interpreter re-entry through C (e.g. a generator driven by
+    str.join) has its own C-recursion cap that this cannot raise; the
+    deep-document pytest trio is the canary if a walker grows such a
+    pattern."""
     import sys
+    if sys.version_info < (3, 11):
+        return
     if sys.getrecursionlimit() < _RECURSION_HEADROOM:
         sys.setrecursionlimit(_RECURSION_HEADROOM)
 

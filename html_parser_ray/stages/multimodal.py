@@ -171,6 +171,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise NotImplementedError(
             f"PNG bridge decoder: unsupported depth={depth} "
             f"color={color} interlace={interlace}")
+    if width == 0 or height == 0:
+        raise ValueError("degenerate PNG dims")
     channels = {0: 1, 2: 3, 6: 4}[color]
     stride = width * channels
     raw = zlib.decompress(b"".join(idat))
@@ -188,6 +190,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload.startswith(b"FAKEIMG1"):
         width, height, channels = struct.unpack_from("<HHB", payload, 8)
+        # degenerate dims are a torn/crafted payload: fail INSIDE the
+        # quarantine guard — the feature/resize math downstream is
+        # deliberately unguarded and assumes a non-empty image
+        if width <= 0 or height <= 0 or channels <= 0:
+            raise ValueError(
+                f"degenerate image dims {width}x{height}x{channels}")
+        # (np.frombuffer raises ValueError on truncated pixel data —
+        # also inside the guard)
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=13,
                                count=width * height * channels)
         return width, height, channels, pixels.reshape(height, width, channels)

