@@ -165,3 +165,54 @@ def test_bpe_encode_reconstructs(word, raw_merges):
     merges = [tuple(m) for m in raw_merges]
     pieces = bpe_encode(word, merges)
     assert "".join(pieces) == word + END
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.sampled_from([0, 2, 6]),
+       st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=1, max_size=6),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_bridge_roundtrip_property(w, h, color, filters, seed):
+    """decode_png(encode(arr, any filter schedule)) == arr for arbitrary
+    sizes/colors — the filter reconstruction is exact, not just on the
+    authored cases."""
+    import numpy as np
+    from html_parser_ray.stages.multimodal import decode_png
+    from tests.test_multimodal import _encode_png
+    c = {0: 1, 2: 3, 6: 4}[color]
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    dw, dh, dc, got = decode_png(_encode_png(arr, color, filters))
+    assert (dw, dh, dc) == (w, h, 3)
+    if c == 1:
+        assert np.array_equal(got, np.repeat(arr, 3, axis=2))
+    else:
+        assert np.array_equal(got, arr[:, :, :3])
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from("ab cd"), max_size=30), max_size=8),
+    min_count=st.integers(min_value=1, max_value=3))
+def test_lm_score_broadcast_equals_joined_property(ray_session, texts,
+                                                   min_count):
+    """Generative pin of the r4 invariant: the over-limit join path is
+    bit-identical to the broadcast path for arbitrary tiny corpora and
+    any min_count (incl. all-empty / all-identical docs)."""
+    import pyarrow as pa
+    import ray
+    from html_parser_ray.functions.lmscore import lm_score
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    if tbl.num_rows == 0:
+        return
+    ds = ray.data.from_arrow(tbl)
+
+    def canon(d):
+        return sorted((r["doc_id"], r["n_tokens"], r["nll_bits"],
+                       r["mean_bits_bp"]) for r in d.take_all())
+
+    assert canon(lm_score(ds, min_count=min_count)) == \
+        canon(lm_score(ds, min_count=min_count, broadcast_limit=0,
+                       num_partitions=4))
