@@ -312,12 +312,17 @@ def q_delta_dedup(sf_dir: str):
 
 
 _DUP_CLOSURE_CTE = (
-    # transitive closure over the planted dup-suffix relation — shared
-    # by dup_clusters / minhash_dedup_best
+    # transitive closure over the duplicate relation — shared by
+    # dup_clusters / minhash_dedup_best. The relation is the planted
+    # dup-suffix chain PLUS exact text equality: at sf0.1 the synthetic
+    # generator produces identical short docs by chance (Jaccard 1.0),
+    # which the engine correctly pairs — an equality-blind oracle
+    # under-counted at that scale (r4 fix)
     "WITH RECURSIVE e AS ("
     "SELECT d.doc_id AS u, o.doc_id AS v FROM documents d "
     "JOIN documents o ON d.doc_id <> o.doc_id AND ("
-    "(LENGTH(o.text) < LENGTH(d.text) "
+    "d.text = o.text "
+    "OR (LENGTH(o.text) < LENGTH(d.text) "
     " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
     " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
     "     '( dup)+')) "
@@ -1985,9 +1990,13 @@ def oracle_sql() -> dict[str, str]:
         # clones (incl. one dup-of-dup chain) — the pair set is the
         # suffix-relation closure; see q_minhash_neardup_pairs docstring
         "minhash_neardup_pairs": (
+            # duplicate relation = planted suffix chains + exact text
+            # equality (chance-identical short docs appear at sf0.1 and
+            # are true Jaccard-1.0 pairs — r4 oracle fix)
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
-            "WHERE (LENGTH(a.text) < LENGTH(b.text) "
+            "WHERE a.text = b.text "
+            "OR (LENGTH(a.text) < LENGTH(b.text) "
             " AND a.text = substr(b.text, 1, LENGTH(a.text)) "
             " AND regexp_full_match(substr(b.text, LENGTH(a.text) + 1), "
             "     '( dup)+')) "
@@ -2025,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": (
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents o WHERE o.doc_id < d.doc_id AND ("
+            "o.text = d.text OR "
             "(LENGTH(o.text) < LENGTH(d.text) "
             " AND o.text = substr(d.text, 1, LENGTH(o.text)) "
             " AND regexp_full_match(substr(d.text, LENGTH(o.text) + 1), "
