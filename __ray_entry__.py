@@ -2006,8 +2006,8 @@ def oracle_sql() -> dict[str, str]:
             "     '( dup)+'))"
         ),
         # end-to-end dedup survivors: a doc is dropped iff some SMALLER
-        # doc_id is suffix-related (chain members are pairwise related, so
-        # direct relation == same component)
+        # doc_id is duplicate-related (equal text or suffix chain; chain
+        # members are pairwise related, so direct relation == component)
         # dup_clusters: recursive-CTE transitive closure over the same
         # suffix-relation edge set the LSH pair stage provably emits
         # (minhash_neardup_pairs hash-matches it); component = min
