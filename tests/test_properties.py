@@ -216,3 +216,29 @@ def test_lm_score_broadcast_equals_joined_property(ray_session, texts,
     assert canon(lm_score(ds, min_count=min_count)) == \
         canon(lm_score(ds, min_count=min_count, broadcast_limit=0,
                        num_partitions=4))
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from("ab cd"), max_size=25), min_size=1,
+    max_size=7),
+    min_df=st.integers(min_value=1, max_value=3))
+def test_top_terms_broadcast_equals_joined_property(ray_session, texts,
+                                                    min_df):
+    """Generative pin: top_terms' over-limit join path + segment argmax
+    is bit-identical to the broadcast path for arbitrary corpora, any
+    min_df (incl. all-words-pruned docs → ('', 0, 0, 0))."""
+    import pyarrow as pa
+    import ray
+    from html_parser_ray.functions.tfidf import top_terms
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+
+    def canon(d):
+        return sorted((r["doc_id"], r["top_term"], r["tf"], r["df"],
+                       r["score"]) for r in d.take_all())
+
+    assert canon(top_terms(ds, len(texts), min_df=min_df)) == \
+        canon(top_terms(ds, len(texts), min_df=min_df, broadcast_limit=0,
+                        num_partitions=4))
