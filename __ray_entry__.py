@@ -1077,8 +1077,10 @@ def q_minhash_neardup_pairs(sf_dir: str):
     as `text + (' dup')+` clones (measured real Jaccard >= 0.90, minhash
     estimate >= 0.92 at sf0.01 — comfortably above the 0.8 threshold, and
     LSH miss probability for J=0.9 at 16 bands x 4 rows is ~3e-8), so the
-    expected pair SET is SQL-derivable from the suffix relation while the
-    minhash estimate value itself is not."""
+    expected pair SET is SQL-derivable from the duplicate relation —
+    planted suffix chains PLUS exact text equality (chance-identical
+    short docs appear at sf0.1 and are true Jaccard-1.0 pairs) — while
+    the minhash estimate value itself is not."""
     from html_parser_ray.functions.dedup import minhash_dedup_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds)
@@ -1233,9 +1235,9 @@ def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composition: quality gate → exact
     dedup → MinHash near-dedup, one compact feature pass + one payload
     filter pass (pipelines/clean.py). SQL oracle: survivors are
-    quality-passing docs with no smaller quality-passing suffix-related
-    sibling (corpus has no exact dups; near-dup chains are the planted
-    `(' dup')+` suffix relation, pairwise within a chain)."""
+    quality-passing docs with no smaller quality-passing duplicate
+    sibling (equal text — chance-identical docs exist at sf0.1 — or the
+    planted `(' dup')+` suffix relation, pairwise within a chain)."""
     from html_parser_ray.pipelines.clean import clean_corpus
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     kept = clean_corpus(ds, min_ws_tokens=20)
@@ -1987,8 +1989,9 @@ def oracle_sql() -> dict[str, str]:
         # every copy (vec_id+1M) collapses onto its original
         "embedding_dedup": "SELECT vec_id FROM embeddings",
         # the synthetic corpus's planted near-dups are `text || (' dup')+`
-        # clones (incl. one dup-of-dup chain) — the pair set is the
-        # suffix-relation closure; see q_minhash_neardup_pairs docstring
+        # clones (incl. one dup-of-dup chain), plus chance-identical docs
+        # at sf0.1 — the pair set is the duplicate-relation closure
+        # (equality + suffix); see q_minhash_neardup_pairs docstring
         "minhash_neardup_pairs": (
             # duplicate relation = planted suffix chains + exact text
             # equality (chance-identical short docs appear at sf0.1 and
@@ -2009,7 +2012,8 @@ def oracle_sql() -> dict[str, str]:
         # doc_id is duplicate-related (equal text or suffix chain; chain
         # members are pairwise related, so direct relation == component)
         # dup_clusters: recursive-CTE transitive closure over the same
-        # suffix-relation edge set the LSH pair stage provably emits
+        # duplicate-relation edge set (equal text or planted suffix
+        # chain) the LSH pair stage provably emits
         # (minhash_neardup_pairs hash-matches it); component = min
         # reachable id, exactly the CC contract
         "dup_clusters": (

@@ -209,8 +209,18 @@ def _lm_score_joined(ds, counts_ds, log_n: int, num_partitions: int):
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    joined = exploded.join(counts_ds, "left_outer", num_partitions,
-                           on=("word",))
+    if counts_ds.count() == 0:
+        # an EMPTY count table (empty corpus, or min_count pruned
+        # everything) loses its schema and the join cannot resolve the
+        # key — and semantically every lookup would fall back to cnt=1
+        # anyway, so synthesize that directly
+        joined = exploded.map_batches(
+            lambda b: b.append_column(
+                "cnt", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    else:
+        joined = exploded.join(counts_ds, "left_outer", num_partitions,
+                               on=("word",))
 
     def bits(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -375,10 +385,24 @@ def _bigram_joined(ds, uni_ds, big_ds, log_n: int, num_partitions: int):
             "n_tok": pa.array(ntoks, pa.int64()),
         })
 
+    def _const_col(upstream, name):
+        # empty side: schema-less join would fail; every lookup falls
+        # back to 1 anyway (same rule as the broadcast maps' .get(…, 1))
+        return upstream.map_batches(
+            lambda b: b.append_column(
+                name, pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    j1 = exploded.join(big2, "left_outer", num_partitions,
-                       on=("w1", "w2"))
-    j2 = j1.join(uni2, "left_outer", num_partitions, on=("w1",))
+    if big_ds.count() == 0:
+        j1 = _const_col(exploded, "cnt2")
+    else:
+        j1 = exploded.join(big2, "left_outer", num_partitions,
+                           on=("w1", "w2"))
+    if uni_ds.count() == 0:
+        j2 = _const_col(j1, "cnt1")
+    else:
+        j2 = j1.join(uni2, "left_outer", num_partitions, on=("w1",))
 
     def bits(batch: pa.Table) -> pa.Table:
         cnt1 = pc.fill_null(batch.column("cnt1"), 1) \

@@ -177,8 +177,17 @@ def _top_terms_joined(ds, df_ds, n_docs: int, num_partitions: int):
             "tf": pa.array(tfs, pa.int64()),
         })
 
-    joined = ds.map_batches(explode, batch_format="pyarrow") \
-        .join(df_ds, "left_outer", num_partitions, on=("word",))
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    if df_ds.count() == 0:
+        # empty df table (min_df pruned everything): schema-less join
+        # would fail; every word is pruned → df=0 masks all candidates
+        joined = exploded.map_batches(
+            lambda b: b.append_column(
+                "df", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    else:
+        joined = exploded.join(df_ds, "left_outer", num_partitions,
+                               on=("word",))
 
     def score_part(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -1874,3 +1874,34 @@ def test_bounded_take_all_guard_fails_loud(ray_session):
     assert len(rows) == 100
     with pytest.raises(ValueError, match="bounded-cardinality"):
         bounded_take_all(ds, what="test", limit=99)
+
+
+def test_lm_and_tfidf_joined_paths_empty_model(ray_session):
+    """Empty count/df tables (empty corpus, or pruning removed every
+    word) must not crash the joined paths — an empty Dataset loses its
+    schema and a join on it fails; the fallback synthesizes the cnt=1 /
+    df=0 semantics directly (broadcast-path parity pinned)."""
+    import ray
+    from html_parser_ray.functions.lmscore import bigram_lm_score, lm_score
+    from html_parser_ray.functions.tfidf import top_terms
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["", " "], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    assert _lm_canon(lm_score(ds)) == \
+        _lm_canon(lm_score(ds, broadcast_limit=-1, num_partitions=4))
+    assert _lm_canon(bigram_lm_score(ds)) == \
+        _lm_canon(bigram_lm_score(ds, broadcast_limit=-1,
+                                  num_partitions=4))
+    b = sorted((r["doc_id"], r["top_term"], r["tf"], r["df"], r["score"])
+               for r in top_terms(ds, 2).take_all())
+    j = sorted((r["doc_id"], r["top_term"], r["tf"], r["df"], r["score"])
+               for r in top_terms(ds, 2, broadcast_limit=-1,
+                                  num_partitions=4).take_all())
+    assert b == j
+    # single-token docs: bigram table is empty while unigram is not
+    tbl2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["one", "two"], pa.string())})
+    ds2 = ray.data.from_arrow(tbl2)
+    assert _lm_canon(bigram_lm_score(ds2)) == \
+        _lm_canon(bigram_lm_score(ds2, broadcast_limit=-1,
+                                  num_partitions=4))

@@ -213,8 +213,10 @@ def test_lm_score_broadcast_equals_joined_property(ray_session, texts,
         return sorted((r["doc_id"], r["n_tokens"], r["nll_bits"],
                        r["mean_bits_bp"]) for r in d.take_all())
 
+    # -1, not 0: an empty model (all-empty docs / everything pruned)
+    # has count 0 and '0 > 0' would silently fall back to broadcast
     assert canon(lm_score(ds, min_count=min_count)) == \
-        canon(lm_score(ds, min_count=min_count, broadcast_limit=0,
+        canon(lm_score(ds, min_count=min_count, broadcast_limit=-1,
                        num_partitions=4))
 
 
@@ -240,5 +242,5 @@ def test_top_terms_broadcast_equals_joined_property(ray_session, texts,
                        r["score"]) for r in d.take_all())
 
     assert canon(top_terms(ds, len(texts), min_df=min_df)) == \
-        canon(top_terms(ds, len(texts), min_df=min_df, broadcast_limit=0,
-                        num_partitions=4))
+        canon(top_terms(ds, len(texts), min_df=min_df,
+                        broadcast_limit=-1, num_partitions=4))
