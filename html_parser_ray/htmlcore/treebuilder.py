@@ -335,6 +335,24 @@ class TreeBuilder:
         else:
             out_attrs = [(a[0], a[1]) for a in attrs]
             spans = [(a[2], a[3]) for a in attrs] if self.capture_spans else None
+        if adjust is not None and len(out_attrs) > 1:
+            # reference facade parity (build.ts normalizeAttributes:
+            # 194-236): attributes dedup FIRST-WINS by their ADJUSTED
+            # name — the tokenizer already dedups raw names, so this
+            # only fires when foreign adjustment collides names (the
+            # adjusted public name of xlink:href is the bare local
+            # 'href', vendored foreign-content.js:73, which collides
+            # with an explicit href= on the same tag)
+            seen: set[str] = set()
+            dd_attrs, dd_spans = [], ([] if spans is not None else None)
+            for idx, pair in enumerate(out_attrs):
+                if pair[0] in seen:
+                    continue
+                seen.add(pair[0])
+                dd_attrs.append(pair)
+                if dd_spans is not None:
+                    dd_spans.append(spans[idx])
+            out_attrs, spans = dd_attrs, dd_spans
         el = Element(name, ns, out_attrs,
                      start if self.capture_spans else -1,
                      end if self.capture_spans else -1,

@@ -476,3 +476,45 @@ def test_deep_document_through_extract_stage(ray_session):
     assert rows["http://a/ok"] == ("ok", "deep text")
     assert rows["http://a/deep"][0] != "ok"
     assert "RecursionError" not in (rows["http://a/deep"][1] or "")
+
+
+# ---------------------------------------------------------------------------
+# foreign-content attribute dedup (reference: src/internal/tree/build.ts
+# normalizeAttributes:194-236 — first-wins by the ADJUSTED public name;
+# dropped attributes carry no span)
+
+def _first_el(tree, *names):
+    node = tree
+    for n in names:
+        node = next(c for c in node.children
+                    if getattr(c, "name", None) == n)
+    return node
+
+
+def test_foreign_attr_adjust_collision_first_wins_svg():
+    tree = parse("<svg><g xlink:href='1' href='2'>", capture_spans=True)
+    g = _first_el(tree, "html", "body", "svg", "g")
+    assert g.attrs == [("href", "1")]
+    # the survivor keeps its OWN raw source span (of xlink:href='1')
+    assert g.attr_spans == [(8, 22)]
+
+
+def test_foreign_attr_adjust_collision_first_wins_math():
+    tree = parse("<math><mi href='2' xlink:href='1'>")
+    mi = _first_el(tree, "html", "body", "math", "mi")
+    assert mi.attrs == [("href", "2")]
+
+
+def test_foreign_attr_no_collision_keeps_all():
+    tree = parse("<svg xml:lang='a' viewbox='v'>", capture_spans=True)
+    svg = _first_el(tree, "html", "body", "svg")
+    assert svg.attrs == [("lang", "a"), ("viewBox", "v")]
+    assert len(svg.attr_spans) == 2
+
+
+def test_html_attrs_never_deduped_by_adjustment():
+    # tokenizer already dedups raw names; identical raw names never reach
+    # the builder, and HTML elements take no adjustment — both survive
+    tree = parse("<i xlink:href='1' href='2'>")
+    i = _first_el(tree, "html", "body", "i")
+    assert i.attrs == [("xlink:href", "1"), ("href", "2")]
