@@ -116,7 +116,8 @@ class Tokenizer:
     __slots__ = (
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
         "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
-        "errors", "capture_offsets", "_initial_state_override",
+        "_text_starts", "errors", "capture_offsets",
+        "_initial_state_override",
     )
 
     def __init__(self, html: str, capture_offsets: bool = False,
@@ -134,6 +135,7 @@ class Tokenizer:
         self._queue: list[tuple] = []
         self._qidx = 0
         self._text_parts: list[str] = []
+        self._text_starts: list[int] = []
         self._text_start = 0
         self.errors: list[tuple[str, int]] = []  # (code, offset)
         self.capture_offsets = capture_offsets
@@ -148,12 +150,40 @@ class Tokenizer:
             if not self._text_parts:
                 self._text_start = start
             self._text_parts.append(value)
+            self._text_starts.append(start)
 
     def _flush_text(self, end: int) -> None:
-        if self._text_parts:
-            data = "".join(self._text_parts)
+        parts = self._text_parts
+        if parts:
+            data = "".join(parts)
+            start = self._text_start
+            if end - start != len(data):
+                # the run contains decoded character references (raw longer
+                # than decoded). parse5 places ws/non-ws character-token
+                # boundaries at the preprocessor position of the boundary
+                # char — for an entity-decoded char that is the LAST raw
+                # char of the reference (tokenizer/index.js
+                # _appendCharToCurrentCharacterToken: getCurrentLocation(0)
+                # at append time). Record per-part anchors so the tree
+                # builder can recover those positions when it segments a
+                # mixed run: (decoded_index, raw_start, raw_last_or_-1).
+                starts = self._text_starts
+                anchors = []
+                d = 0
+                for i, p in enumerate(parts):
+                    raw_start = starts[i]
+                    raw_end = starts[i + 1] if i + 1 < len(parts) else end
+                    anchors.append(
+                        (d, raw_start,
+                         -1 if raw_end - raw_start == len(p)
+                         else raw_end - 1))
+                    d += len(p)
+                token = (CHARS, data, start, end, tuple(anchors))
+            else:
+                token = (CHARS, data, start, end)
             self._text_parts = []
-            self._queue.append((CHARS, data, self._text_start, end))
+            self._text_starts = []
+            self._queue.append(token)
 
     def _emit(self, token: tuple) -> None:
         self._flush_text(token[-2] if len(token) > 2 else self.pos)

@@ -62,6 +62,17 @@ _MARKER = object()  # active-formatting-elements marker
 import re as _re
 _SEG_RE = _re.compile(r"[\t\n\f\r ]+|[^\t\n\f\r ]+")
 
+
+def _anchor_pos(anchors: tuple, d: int) -> int:
+    """Raw source position where the decoded char at index ``d`` of a
+    character run was appended (parse5 token-boundary semantics); see
+    tokenizer._flush_text for the anchor format."""
+    j = len(anchors) - 1
+    while j > 0 and anchors[j][0] > d:
+        j -= 1
+    d0, raw_start, raw_last = anchors[j]
+    return raw_last if raw_last >= 0 else raw_start + (d - d0)
+
 _NUL_RUN = _re.compile("\x00+")
 _IN_HEAD_START = frozenset(["base", "basefont", "bgsound", "link", "meta",
                             "noframes", "script", "style", "template",
@@ -644,16 +655,26 @@ class TreeBuilder:
             # single-character tokens; runs are our optimization)
             segs = _SEG_RE.findall(token[1])
             if len(segs) > 1:
-                # per-segment offsets are arithmetic except the LAST
-                # segment, which inherits the token's true source end —
-                # decoded charrefs make the value shorter than its source,
-                # and parse5's merged text node ends at the source end
-                offset = token[2]
+                # parse5 sets each ws/non-ws boundary to the preprocessor
+                # position of the class-switching char at append time: raw
+                # position for plain chars, LAST raw char of the reference
+                # for entity-decoded chars. Runs containing charrefs carry
+                # per-part anchors (tokenizer._flush_text); without them
+                # raw == decoded and arithmetic offsets are exact.
+                anchors = token[4] if len(token) > 4 else None
+                seg_start = token[2]
                 last = len(segs) - 1
+                d = 0
                 for k, seg in enumerate(segs):
-                    seg_end = token[3] if k == last else offset + len(seg)
-                    self._process((CHARS, seg, offset, seg_end))
-                    offset += len(seg)
+                    d += len(seg)
+                    if k == last:
+                        seg_end = token[3]
+                    elif anchors is None:
+                        seg_end = seg_start + len(seg)
+                    else:
+                        seg_end = _anchor_pos(anchors, d)
+                    self._process((CHARS, seg, seg_start, seg_end))
+                    seg_start = seg_end
                 return
         handler = _MODE_HANDLERS[self.mode]
         handler(self, token)
@@ -740,6 +761,12 @@ class TreeBuilder:
                     self._process(token)
                     return
                 if node.name.lower() == name:
+                    if node.name != name and self.capture_spans:
+                        # parse5 rewrites the token tag name to the
+                        # element's adjusted (camelCase) name so
+                        # _setEndLocation records the end-tag END offset
+                        # (endTagInForeignContent, parser/index.js:3302-3305)
+                        self._cur_token = (token[0], node.name) + token[2:]
                     while len(self.stack) > i:
                         self._pop()
                     return
@@ -950,7 +977,8 @@ class TreeBuilder:
             data = token[1]
             ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
             if ws_len:
-                self._insert_text(data[:ws_len], token[2], token[2])
+                self._insert_text(data[:ws_len], token[2],
+                                  token[3] if ws_len == len(data) else token[2])
             if ws_len == len(data):
                 return
             token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
@@ -967,7 +995,8 @@ class TreeBuilder:
             data = token[1]
             ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
             if ws_len:
-                self._insert_text(data[:ws_len], token[2], token[2])
+                self._insert_text(data[:ws_len], token[2],
+                                  token[3] if ws_len == len(data) else token[2])
             if ws_len == len(data):
                 return
             token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
@@ -1822,7 +1851,8 @@ class TreeBuilder:
             data = token[1]
             ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
             if ws_len:
-                self._insert_text(data[:ws_len], token[2], token[2])
+                self._insert_text(data[:ws_len], token[2],
+                                  token[3] if ws_len == len(data) else token[2])
             if ws_len == len(data):
                 return
             token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
