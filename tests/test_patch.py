@@ -229,3 +229,76 @@ def test_charref_segmented_text_span_ends_at_source_end():
     text = first_text(tree.children[0])
     assert text.value == "x &"
     assert (text.start, text.end) == (0, 7)
+
+
+# ---------------------------------------------------------------------------
+# parse5 token-boundary anchors for entity-decoded chars: the ws/non-ws
+# segmentation boundary sits at the preprocessor position of the char at
+# append time — for a decoded charref that is the LAST raw char of the
+# reference (parse5 tokenizer _appendCharToCurrentCharacterToken).
+# Minimized from the r4 span sweeps; goldens from span_oracle.mjs.
+
+def _spans(html):
+    tree = parse(html, capture_spans=True)
+    out = []
+
+    def collect(children, path):
+        for idx, child in enumerate(children):
+            p = f"{path}/{idx}"
+            if isinstance(child, Element):
+                out.append((p, child.start, child.end))
+                inner = (child.template_content
+                         if child.template_content is not None
+                         else child.children)
+                collect(inner, p)
+            elif isinstance(child, Text):
+                out.append((p, child.start, child.end))
+
+    collect(tree.children, "")
+    return out
+
+
+def test_entity_led_segment_starts_at_reference_last_char():
+    # decoded "&x" starts at the ';' of &amp; (offset 5), not at the
+    # arithmetic position of the ws boundary
+    assert _spans(" &amp;x<style>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 5, 7), ("/0/1/1", 7, 7)]
+
+
+def test_entity_tab_boundary_mid_run():
+    # "a\t b" — the charref tab is ws; boundary positions recovered from
+    # the per-part anchors, final text node spans the whole raw run
+    assert _spans("a&#9; b<style>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 7), ("/0/1/1", 7, 7)]
+
+
+def test_adjacent_entities_merge_to_source_end():
+    assert _spans("x &amp;&amp;y<style>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 13), ("/0/1/1", 13, 13)]
+
+
+def test_foreign_end_tag_rewrites_token_name_for_end_span():
+    # parse5 endTagInForeignContent rewrites the token tagName to the
+    # element's adjusted name before popping, so _setEndLocation stamps
+    # foreignObject's END at </foreignObject>'s end, not the ignored
+    # </path> token's start
+    assert _spans("<svg><foreignObject></path></foreignObject>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 43), ("/0/1/0/0", 5, 43)]
+
+
+def test_pure_ws_charref_run_after_head_true_source_end():
+    # a pure-whitespace run containing a charref keeps its raw source
+    # end (18 = end of "&#9;"), pinning head/style positions
+    assert _spans("<head></head> &#9;<style>") == [
+        ("/0", -1, -1), ("/0/0", 0, 18), ("/0/0/0", 18, 18),
+        ("/0/1", 13, 18), ("/0/2", -1, -1)]
+
+
+def test_pure_ws_charref_run_after_frameset():
+    assert _spans("<frameset></frameset> &#9;") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", 0, 21),
+        ("/0/2", 21, 26)]
