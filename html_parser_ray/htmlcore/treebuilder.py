@@ -125,6 +125,7 @@ class TreeBuilder:
         self.stopped = False
         self.ignore_next_lf = False
         self._cur_token: tuple | None = None
+        self._cur_tag_token: tuple | None = None
         self._end_tagged: set[int] = set()  # id(el) with explicit end tags
         self.saw_select = False  # lets api skip the select/option patch walk
 
@@ -194,6 +195,13 @@ class TreeBuilder:
             done = False
             for token in tk.drain():
                 self._cur_token = token
+                if token[0] in (START, END, EOF):
+                    # parse5 updates parser.currentToken only in
+                    # onStartTag/onEndTag (parser/index.js:899,1022) and
+                    # passes the EOF token to _setEndLocation explicitly —
+                    # character/comment/doctype tokens never become the
+                    # "closing token" for end-location stamping
+                    self._cur_tag_token = token
                 if self.ignore_next_lf and token[0] != CHARS:
                     # the skip-next-LF rule applies only to the immediately
                     # following character token
@@ -210,7 +218,12 @@ class TreeBuilder:
     def _err(self, code: str, token: tuple | None = None) -> None:
         tok = token or self._cur_token
         if tok is not None and len(tok) >= 3 and tok[0] != EOF:
-            self.errors.append(ParseErrorRec(code, tok[-2], tok[-1]))
+            if tok[0] == CHARS:
+                # CHARS tokens may carry a 5th anchors element — address
+                # the span positionally, not from the tail
+                self.errors.append(ParseErrorRec(code, tok[2], tok[3]))
+            else:
+                self.errors.append(ParseErrorRec(code, tok[-2], tok[-1]))
         else:
             self.errors.append(ParseErrorRec(code))
 
@@ -392,7 +405,7 @@ class TreeBuilder:
         return el
 
     def _set_end_location(self, el: Element) -> None:
-        tok = self._cur_token
+        tok = self._cur_tag_token
         if el.start < 0 or tok is None:
             return
         if tok[0] == END and tok[1] == el.name:
@@ -767,6 +780,7 @@ class TreeBuilder:
                         # _setEndLocation records the end-tag END offset
                         # (endTagInForeignContent, parser/index.js:3302-3305)
                         self._cur_token = (token[0], node.name) + token[2:]
+                        self._cur_tag_token = self._cur_token
                     while len(self.stack) > i:
                         self._pop()
                     return

@@ -302,3 +302,27 @@ def test_pure_ws_charref_run_after_frameset():
     assert _spans("<frameset></frameset> &#9;") == [
         ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", 0, 21),
         ("/0/2", 21, 26)]
+
+
+def test_char_token_pop_stamps_last_tag_token_location():
+    # parse5 updates parser.currentToken only on start/end tags
+    # (parser/index.js:899,1022): colgroup popped by a character token
+    # ends at its OWN start tag's start, not at the text position
+    assert _spans("<table><colgroup>xy") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 17, 19), ("/0/1/1", 0, 19), ("/0/1/1/0", 7, 7)]
+    # with an entity in the popping run (anchored 5-tuple token)
+    assert _spans("<table><colgroup>x&amp;y") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 17, 24), ("/0/1/1", 0, 24), ("/0/1/1/0", 7, 7)]
+
+
+def test_error_span_positional_on_anchored_char_token():
+    # a parse error recorded while the current token is an anchored
+    # 5-tuple CHARS token must use positional (start, end), never the
+    # anchors tail
+    tree = parse("<body>a\x00&amp;b", capture_spans=True)
+    spans = [e.span for e in tree.errors]
+    assert all(isinstance(s, tuple) and len(s) == 2
+               and all(isinstance(x, int) for x in s) for s in spans)
+    assert (6, 14) in spans  # unexpected-null-character over the run
