@@ -195,12 +195,14 @@ class TreeBuilder:
             done = False
             for token in tk.drain():
                 self._cur_token = token
-                if token[0] in (START, END, EOF):
+                if token[0] in (START, END):
                     # parse5 updates parser.currentToken only in
-                    # onStartTag/onEndTag (parser/index.js:899,1022) and
-                    # passes the EOF token to _setEndLocation explicitly —
-                    # character/comment/doctype tokens never become the
-                    # "closing token" for end-location stamping
+                    # onStartTag/onEndTag (parser/index.js:899,1022) —
+                    # character/comment/doctype/EOF tokens never become the
+                    # "closing token" for end-location stamping; pops during
+                    # EOF processing (eofInText, eofInTemplate) stamp from
+                    # the LAST TAG token, and the stopParsing EOF extension
+                    # is applied explicitly in _stop_parsing
                     self._cur_tag_token = token
                 if self.ignore_next_lf and token[0] != CHARS:
                     # the skip-next-LF rule applies only to the immediately
@@ -1399,12 +1401,15 @@ class TreeBuilder:
             self._err("unexpected-end-tag")
             return
         self.mode = AFTER_BODY
-        if self.capture_spans:
-            for el in self.stack:
-                if el.name == "body" and el.ns == HTML_NS:
-                    el.end = token[-1]
-                    self._end_tagged.add(id(el))
-                    break
+        # parse5 bodyEndTagInBody: only the PROPERLY NESTED body (stack[1])
+        # is updated, and _setEndLocation no-ops when the element has no
+        # source location (implied <body>)
+        if self.capture_spans and len(self.stack) > 1:
+            body = self.stack[1]
+            if (body.name == "body" and body.ns == HTML_NS
+                    and body.start >= 0):
+                body.end = token[-1]
+                self._end_tagged.add(id(body))
 
     def _ibe_html(self, token: tuple) -> None:
         if not self._has_in_scope("body"):
@@ -1742,7 +1747,10 @@ class TreeBuilder:
                 self.form_el = el
                 self.stack.pop()
                 if self.capture_spans:
-                    el.end = token[-1]
+                    # parse5 pops via openElements.pop() while currentToken
+                    # is still the <form> START token → _setEndLocation's
+                    # else branch stamps the token START (zero-width end)
+                    el.end = token[-2]
                 return
             self._in_table_anything_else(token)
             return
@@ -2296,9 +2304,18 @@ class TreeBuilder:
                 self._err("unexpected-end-tag")
                 return
             self.mode = AFTER_AFTER_BODY
-            if self.capture_spans:
-                self.stack[0].end = token[-1]
-                self._end_tagged.add(id(self.stack[0]))
+            # parse5 endTagAfterBody: html takes the end-tag END (only if
+            # it has a source location); body, if not already end-tagged,
+            # takes the end-tag START (else-branch of _setEndLocation)
+            if self.capture_spans and self.stack:
+                root = self.stack[0]
+                if root.start >= 0:
+                    root.end = token[-1]
+                    self._end_tagged.add(id(root))
+                if len(self.stack) > 1:
+                    body = self.stack[1]
+                    if body.start >= 0 and id(body) not in self._end_tagged:
+                        body.end = token[-2]
             return
         if kind == EOF:
             self._stop_parsing()
@@ -2464,10 +2481,13 @@ class TreeBuilder:
                 if el.start >= 0:
                     el.end = n
             if self.fragment_context is None and self.stack:
+                # parse5 stopParsing: body is extended ONLY when html has a
+                # source location and no end tag — an implied <html> leaves
+                # both html and the items[1] slot (body or frameset) at
+                # their start-tag-derived ends
                 html_el = self.stack[0]
-                if id(html_el) not in self._end_tagged:
-                    if html_el.start >= 0:
-                        html_el.end = n
+                if html_el.start >= 0 and id(html_el) not in self._end_tagged:
+                    html_el.end = n
                     if len(self.stack) > 1:
                         body_el = self.stack[1]
                         if (id(body_el) not in self._end_tagged

@@ -326,3 +326,43 @@ def test_error_span_positional_on_anchored_char_token():
     assert all(isinstance(s, tuple) and len(s) == 2
                and all(isinstance(x, int) for x in s) for s in spans)
     assert (6, 14) in spans  # unexpected-null-character over the run
+
+
+# ---------------------------------------------------------------------------
+# parse5 stopParsing / pop-time end-location semantics (r4b sweep grammar:
+# frameset, colgroup, form-in-table, templates); goldens from span_oracle.mjs
+
+def test_implied_html_blocks_eof_extension_of_items1():
+    # stopParsing extends the items[1] slot (body OR frameset) only when
+    # html has a source location — implied <html> leaves the explicit
+    # frameset/body at its start-tag end
+    assert _spans("<frameset><b>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", 0, 10)]
+    assert _spans("<body><frameset><p>x") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", 0, 6),
+        ("/0/1/0", 16, 20), ("/0/1/0/0", 19, 20)]
+    # with an explicit <html> both html and body extend to EOF
+    assert _spans("<html><body>x") == [
+        ("/0", 0, 13), ("/0/0", -1, -1), ("/0/1", 6, 13),
+        ("/0/1/0", 12, 13)]
+
+
+def test_eof_in_template_pops_stamp_last_tag_token():
+    # eofInTemplate pops the template BEFORE stopParsing; the pop stamps
+    # from the last tag token (its own <template> start → zero-width, or
+    # the preceding </h1> start)
+    assert _spans("<option>o</p><template>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 23), ("/0/1/0/0", 8, 9), ("/0/1/0/1", -1, -1),
+        ("/0/1/0/2", 13, 13)]
+    assert _spans("<template><h1>h</h1>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/0/0", 0, 15),
+        ("/0/0/0/0", 10, 20), ("/0/0/0/0/0", 14, 15), ("/0/1", -1, -1)]
+
+
+def test_form_in_table_pops_at_own_start():
+    # formStartTagInTable pops the just-inserted form while currentToken
+    # is still the <form> start tag → zero-width end at its own start
+    assert _spans("<table><form>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 13), ("/0/1/0/0", 7, 7)]

@@ -54,7 +54,9 @@ function fragmentContext(tagName) {
 }
 
 function collect(node, path, spans, attrs) {
-  const kids = node.childNodes ?? [];
+  // parse5 templates hold their children on .content (a DocumentFragment),
+  // not childNodes — descend so template-content spans are checked too
+  const kids = node.content ? node.content.childNodes : (node.childNodes ?? []);
   let idx = 0;
   for (const child of kids) {
     const p = `${path}/${idx}`;
