@@ -150,14 +150,15 @@ class Tokenizer:
             if not self._text_parts:
                 self._text_start = start
             self._text_parts.append(value)
-            self._text_starts.append(start)
+            if self.capture_offsets:
+                self._text_starts.append(start)
 
     def _flush_text(self, end: int) -> None:
         parts = self._text_parts
         if parts:
             data = "".join(parts)
             start = self._text_start
-            if end - start != len(data):
+            if self.capture_offsets and end - start != len(data):
                 # the run contains decoded character references (raw longer
                 # than decoded). parse5 places ws/non-ws character-token
                 # boundaries at the preprocessor position of the boundary

@@ -133,7 +133,9 @@ class TreeBuilder:
 
     def parse(self, html: str) -> Document:
         self._init_state()
-        tk = Tokenizer(html)
+        # anchors (entity-boundary bookkeeping) are only consumed when
+        # spans are captured — skip the per-append cost otherwise
+        tk = Tokenizer(html, capture_offsets=self.capture_spans)
         self.tokenizer = tk
         self._run()
         return self.doc
@@ -141,7 +143,7 @@ class TreeBuilder:
     def parse_fragment(self, html: str, context: Element) -> DocumentFragment:
         self._init_state()
         self.fragment_context = context
-        tk = Tokenizer(html)
+        tk = Tokenizer(html, capture_offsets=self.capture_spans)
         self.tokenizer = tk
         # fragment context arms only the tokenizer STATE — not the
         # appropriate-end-tag name — so '</title>' inside a title fragment
