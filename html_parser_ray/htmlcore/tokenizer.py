@@ -117,7 +117,7 @@ class Tokenizer:
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
         "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
         "_text_starts", "errors", "capture_offsets",
-        "_initial_state_override",
+        "_initial_state_override", "_cdata_start",
     )
 
     def __init__(self, html: str, capture_offsets: bool = False,
@@ -139,6 +139,7 @@ class Tokenizer:
         self._text_start = 0
         self.errors: list[tuple[str, int]] = []  # (code, offset)
         self.capture_offsets = capture_offsets
+        self._cdata_start = -1  # '<![CDATA[' marker start of an open section
 
     # ---- error + text plumbing -------------------------------------------
 
@@ -531,14 +532,16 @@ class Tokenizer:
     def _run_cdata(self) -> None:
         s, n = self.html, self.n
         pos = self.pos
+        start = self._cdata_start if self._cdata_start >= 0 else pos
+        self._cdata_start = -1
         end = s.find("]]>", pos)
         if end == -1:
             self._err("eof-in-cdata", n)
-            self._text(s[pos:], pos)
+            self._text(s[pos:], start)
             self.pos = n
             self._eof()
             return
-        self._text(s[pos:end], pos)
+        self._text(s[pos:end], start)
         self.pos = end + 3
         self.state = DATA
         self._flush_text(self.pos)
@@ -865,6 +868,9 @@ class Tokenizer:
             if self.allow_cdata:
                 self.pos = pos + 7
                 self.state = CDATA_SECTION
+                # parse5 locates CDATA characters from the section marker:
+                # the run's span covers '<![CDATA[' .. ']]>' inclusive
+                self._cdata_start = lt_pos
                 self._flush_text(lt_pos)
                 if self._qidx >= len(self._queue):
                     self._run_cdata()
@@ -885,7 +891,7 @@ class Tokenizer:
             data = initial + s[pos:]
             self.pos = n
             data = data.replace("\x00", "�")
-            self._emit((COMMENT, data, lt_pos, n))
+            self._emit((COMMENT, data, lt_pos, n + 1))
             self._eof()
             return
         data = initial + s[pos:end]
@@ -915,7 +921,7 @@ class Tokenizer:
             if pos >= n:
                 self._err("eof-in-comment", pos)
                 self.pos = n
-                self._emit((COMMENT, "".join(parts), lt_pos, n))
+                self._emit((COMMENT, "".join(parts), lt_pos, n + 1))
                 self._eof()
                 return
             c = s[pos]
@@ -931,7 +937,7 @@ class Tokenizer:
                     parts.append("-" * max(0, dashes - 2))
                     self._err("eof-in-comment", pos)
                     self.pos = n
-                    self._emit((COMMENT, "".join(parts), lt_pos, n))
+                    self._emit((COMMENT, "".join(parts), lt_pos, n + 1))
                     self._eof()
                     return
                 if dashes >= 2 and s[pos] == ">":
@@ -952,7 +958,7 @@ class Tokenizer:
                         parts.append("-" * (dashes - 2))
                         self._err("eof-in-comment", n)
                         self.pos = n
-                        self._emit((COMMENT, "".join(parts), lt_pos, n))
+                        self._emit((COMMENT, "".join(parts), lt_pos, n + 1))
                         self._eof()
                         return
                     parts.append("-" * (dashes - 2) + "--!")
@@ -990,6 +996,13 @@ class Tokenizer:
             self.pos = endpos
             self._emit((DOCTYPE, name, public_id, system_id, force_quirks, lt_pos, endpos))
 
+        def emit_eof() -> None:
+            # EOF-terminated doctype: parse5's endOffset counts the
+            # consumed EOF pseudo-char (one past the input end)
+            self.pos = n
+            self._emit((DOCTYPE, name, public_id, system_id, force_quirks,
+                        lt_pos, n + 1))
+
         if pos < n and s[pos] not in _WS and s[pos] != ">":
             self._err("missing-whitespace-before-doctype-name", pos)
         while pos < n and s[pos] in _WS:
@@ -997,7 +1010,7 @@ class Tokenizer:
         if pos >= n:
             self._err("eof-in-doctype", pos)
             force_quirks = True
-            emit(n)
+            emit_eof()
             self._eof()
             return
         if s[pos] == ">":
@@ -1016,7 +1029,7 @@ class Tokenizer:
             if pos >= n:
                 self._err("eof-in-doctype", pos)
                 force_quirks = True
-                emit(n)
+                emit_eof()
                 self._eof()
                 return
             if s[pos] == ">":
@@ -1029,15 +1042,19 @@ class Tokenizer:
                 if aborted:
                     force_quirks = True
                     if pos >= n:
-                        emit(n)
+                        emit_eof()
                         self._eof()
                         return
                     if s[pos] == ">":
                         emit(pos + 1)
                         return
                     # bogus doctype
-                    pos = self._skip_bogus_doctype(pos)
-                    emit(pos)
+                    pos, hit_eof = self._skip_bogus_doctype(pos)
+                    if hit_eof:
+                        emit_eof()
+                        self._eof()
+                    else:
+                        emit(pos)
                     return
                 continue
             if kw == "system" and system_id is None:
@@ -1046,14 +1063,18 @@ class Tokenizer:
                 if aborted:
                     force_quirks = True
                     if pos >= n:
-                        emit(n)
+                        emit_eof()
                         self._eof()
                         return
                     if s[pos] == ">":
                         emit(pos + 1)
                         return
-                    pos = self._skip_bogus_doctype(pos)
-                    emit(pos)
+                    pos, hit_eof = self._skip_bogus_doctype(pos)
+                    if hit_eof:
+                        emit_eof()
+                        self._eof()
+                    else:
+                        emit(pos)
                     return
                 continue
             if public_id is not None and system_id is None and s[pos] in "\"'":
@@ -1062,7 +1083,7 @@ class Tokenizer:
                 if aborted:
                     force_quirks = True
                     if pos >= n:
-                        emit(n)
+                        emit_eof()
                         self._eof()
                         return
                 continue
@@ -1070,8 +1091,12 @@ class Tokenizer:
             # after a valid system id, bogus chars do NOT force quirks
             if system_id is None:
                 force_quirks = True
-            pos = self._skip_bogus_doctype(pos)
-            emit(pos)
+            pos, hit_eof = self._skip_bogus_doctype(pos)
+            if hit_eof:
+                emit_eof()
+                self._eof()
+            else:
+                emit(pos)
             return
 
     def _doctype_id(self, pos: int, kind: str) -> tuple[int, str | None, bool]:
@@ -1117,9 +1142,10 @@ class Tokenizer:
         ident = s[pos:end].replace("\x00", "�")
         return end + 1, ident, False
 
-    def _skip_bogus_doctype(self, pos: int) -> int:
+    def _skip_bogus_doctype(self, pos: int) -> tuple[int, bool]:
+        """Returns (next_pos, hit_eof) — the EOF case must emit end n+1."""
         s, n = self.html, self.n
         end = s.find(">", pos)
         if end == -1:
-            return n
-        return end + 1
+            return n, True
+        return end + 1, False

@@ -366,3 +366,45 @@ def test_form_in_table_pops_at_own_start():
     assert _spans("<table><form>") == [
         ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
         ("/0/1/0", 0, 13), ("/0/1/0/0", 7, 7)]
+
+
+def test_eof_terminated_comment_and_doctype_end_past_input():
+    # parse5 counts the consumed EOF pseudo-char: an EOF-terminated
+    # comment/doctype/bogus-comment ends at n+1
+    from html_parser_ray.htmlcore.dom import Comment, Doctype
+    t = parse("<!-- unclosed", capture_spans=True)
+    c = t.children[0]
+    assert isinstance(c, Comment) and (c.start, c.end) == (0, 14)
+    t = parse("<!doctype html", capture_spans=True)
+    d = t.children[0]
+    assert isinstance(d, Doctype) and (d.start, d.end) == (0, 15)
+    t = parse("<?pi", capture_spans=True)  # bogus comment
+    c = t.children[0]
+    assert isinstance(c, Comment) and (c.start, c.end) == (0, 5)
+    t = parse("<!doctype html public bogus", capture_spans=True)
+    d = t.children[0]
+    assert isinstance(d, Doctype) and (d.start, d.end) == (0, 28)
+    # a '>'-terminated comment/doctype still ends at the raw '>' end
+    t = parse("<!--c--><!doctype html>", capture_spans=True)
+    assert (t.children[0].start, t.children[0].end) == (0, 8)
+    assert (t.children[1].start, t.children[1].end) == (8, 23)
+
+
+def test_cdata_text_span_covers_section_markers():
+    # parse5 locates CDATA characters from the '<![CDATA[' marker; the
+    # merged run spans marker..']]>' and fuses with adjacent text
+    from html_parser_ray.htmlcore.dom import Text
+    t = parse("<svg>a<![CDATA[x]]></svg>", capture_spans=True)
+    svg = t.children[0].children[1].children[0]
+    (txt,) = svg.children
+    assert isinstance(txt, Text)
+    assert txt.value == "ax" and (txt.start, txt.end) == (5, 19)
+    # empty section contributes no text node
+    t = parse("<svg><![CDATA[]]></svg>", capture_spans=True)
+    svg = t.children[0].children[1].children[0]
+    assert svg.children == []
+    # unclosed section ends at the input end (no EOF pseudo-char here)
+    t = parse("<svg><![CDATA[x", capture_spans=True)
+    svg = t.children[0].children[1].children[0]
+    (txt,) = svg.children
+    assert (txt.start, txt.end) == (5, 15)

@@ -73,7 +73,8 @@ function collect(node, path, spans, attrs) {
         spans.push([p, -1, -1]);
       }
       collect(child, p, spans, attrs);
-    } else if (child.nodeName === "#text") {
+    } else if (child.nodeName === "#text" || child.nodeName === "#comment" ||
+               child.nodeName === "#documentType") {
       const loc = child.sourceCodeLocation;
       spans.push([p, loc ? loc.startOffset : -1, loc ? loc.endOffset : -1]);
     }
