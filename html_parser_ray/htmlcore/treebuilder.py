@@ -197,7 +197,7 @@ class TreeBuilder:
             done = False
             for token in tk.drain():
                 self._cur_token = token
-                if token[0] in (START, END):
+                if self.capture_spans and token[0] in (START, END):
                     # parse5 updates parser.currentToken only in
                     # onStartTag/onEndTag (parser/index.js:899,1022) —
                     # character/comment/doctype/EOF tokens never become the
@@ -364,13 +364,21 @@ class TreeBuilder:
             out_attrs = [(a[0], a[1]) for a in attrs]
             spans = [(a[2], a[3]) for a in attrs] if self.capture_spans else None
         if adjust is not None and len(out_attrs) > 1:
-            # reference facade parity (build.ts normalizeAttributes:
-            # 194-236): attributes dedup FIRST-WINS by their ADJUSTED
-            # name — the tokenizer already dedups raw names, so this
-            # only fires when foreign adjustment collides names (the
-            # adjusted public name of xlink:href is the bare local
-            # 'href', vendored foreign-content.js:73, which collides
-            # with an explicit href= on the same tag)
+            # DEDUP parity (build.ts normalizeAttributes:194-236):
+            # attributes dedup FIRST-WINS by their ADJUSTED name — the
+            # tokenizer already dedups raw names, so this only fires
+            # when foreign adjustment collides names (the adjusted
+            # public name of xlink:href is the bare local 'href',
+            # vendored foreign-content.js:73, which collides with an
+            # explicit href= on the same tag). SPAN attachment
+            # deliberately diverges from build.ts: its
+            # attrs[attr.name] ?? attrs[name] lookup (build.ts:218)
+            # keys the ADJUSTED name into parse5's RAW-keyed location
+            # map, silently dropping spans for every adjusted foreign
+            # attribute (viewBox, xlink:*, ...) and, on collision,
+            # attaching the DROPPED attribute's span to the survivor.
+            # We keep each surviving attribute's own raw source span
+            # (the span-oracle positional contract, verify SKILL §4).
             seen: set[str] = set()
             dd_attrs, dd_spans = [], ([] if spans is not None else None)
             for idx, pair in enumerate(out_attrs):
@@ -408,6 +416,22 @@ class TreeBuilder:
             self._set_end_location(el)
         return el
 
+    @staticmethod
+    def _lf_strip_start(token: tuple, data: str, start: int) -> int:
+        """Span start after the skip-next-LF strip (data = rest, non-empty).
+
+        parse5 drops the LF from the front of the leading WHITESPACE
+        character token without touching its location (token.chars.substr(1)
+        in _processToken) — so while more whitespace follows, the span still
+        starts at the stripped LF. Only when the LF was the ENTIRE ws token
+        does the next (character-type) token's own creation position take
+        over: its append-time location, anchor-aware for entity-decoded
+        runs."""
+        if data[0] in "\t\n\f\r ":
+            return start
+        anchors = token[4] if len(token) > 4 else None
+        return _anchor_pos(anchors, 1) if anchors else start + 1
+
     def _set_end_location(self, el: Element) -> None:
         tok = self._cur_tag_token
         if el.start < 0 or tok is None:
@@ -415,9 +439,9 @@ class TreeBuilder:
         if tok[0] == END and tok[1] == el.name:
             el.end = tok[-1]
             self._end_tagged.add(id(el))
-        elif tok[0] == EOF:
-            el.end = self.tokenizer.n
         else:
+            # _cur_tag_token only ever holds START/END tokens; EOF-time
+            # extension happens in _stop_parsing, never here
             el.end = tok[-2] if len(tok) >= 3 else el.end
 
     def _remove_from_stack(self, el: Element) -> None:
@@ -682,6 +706,7 @@ class TreeBuilder:
                 seg_start = token[2]
                 last = len(segs) - 1
                 d = 0
+                ai = 0  # forward cursor — boundaries arrive in increasing d
                 for k, seg in enumerate(segs):
                     d += len(seg)
                     if k == last:
@@ -689,7 +714,12 @@ class TreeBuilder:
                     elif anchors is None:
                         seg_end = seg_start + len(seg)
                     else:
-                        seg_end = _anchor_pos(anchors, d)
+                        while (ai + 1 < len(anchors)
+                               and anchors[ai + 1][0] <= d):
+                            ai += 1
+                        d0, raw_start, raw_last = anchors[ai]
+                        seg_end = (raw_last if raw_last >= 0
+                                   else raw_start + (d - d0))
                     self._process((CHARS, seg, seg_start, seg_end))
                     seg_start = seg_end
                 return
@@ -713,7 +743,7 @@ class TreeBuilder:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
-                    start += 1  # parse5: the skipped LF is not in the span
+                    start = self._lf_strip_start(token, data, start)
             self._insert_text(data, start, token[3])
             if not is_all_ws(data):
                 self.frameset_ok = False
@@ -1081,9 +1111,9 @@ class TreeBuilder:
             self.ignore_next_lf = False
             if data.startswith("\n"):
                 data = data[1:]
-                start += 1  # parse5: the skipped LF is not in the span
                 if not data:
                     return
+                start = self._lf_strip_start(token, data, start)
         if "\x00" in data:
             self._err("unexpected-null-character")
             data = data.replace("\x00", "")
@@ -1639,9 +1669,9 @@ class TreeBuilder:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
-                    start += 1  # parse5: the skipped LF is not in the span
                     if not data:
                         return
+                    start = self._lf_strip_start(token, data, start)
             self._insert_text(data, start, token[3])
             return
         if kind == EOF:

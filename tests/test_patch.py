@@ -408,3 +408,34 @@ def test_cdata_text_span_covers_section_markers():
     svg = t.children[0].children[1].children[0]
     (txt,) = svg.children
     assert (txt.start, txt.end) == (5, 15)
+
+
+def test_skip_lf_keeps_ws_token_location():
+    # parse5 strips the pre/textarea LF via token.chars.substr(1) WITHOUT
+    # adjusting the whitespace token's location: while more whitespace
+    # follows, the span still starts at the stripped LF
+    assert _spans("<pre>\n  x</pre>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 15), ("/0/1/0/0", 5, 9)]
+    assert _spans("<textarea>\n \nx</textarea>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 25), ("/0/1/0/0", 10, 14)]
+    assert _spans("<svg><pre>\n x</pre></svg>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 5), ("/0/1/1", 5, 19), ("/0/1/1/0", 10, 13)]
+
+
+def test_skip_lf_sole_ws_token_advances_to_next_char():
+    # when the LF was the ENTIRE whitespace token, the next character
+    # token's own creation position takes over — anchor-aware when the
+    # LF was entity-decoded (&#10; spans 5..10, x at 10)
+    assert _spans("<pre>\nx</pre>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 13), ("/0/1/0/0", 6, 7)]
+    assert _spans("<pre>&#10;x</pre>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 17), ("/0/1/0/0", 10, 11)]
+    # decoded LF followed by more ws: run start stays at the charref start
+    assert _spans("<pre>&#10; x</pre>") == [
+        ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
+        ("/0/1/0", 0, 18), ("/0/1/0/0", 5, 12)]
