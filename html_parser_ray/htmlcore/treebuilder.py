@@ -425,12 +425,32 @@ class TreeBuilder:
         in _processToken) — so while more whitespace follows, the span still
         starts at the stripped LF. Only when the LF was the ENTIRE ws token
         does the next (character-type) token's own creation position take
-        over: its append-time location, anchor-aware for entity-decoded
-        runs."""
+        over: its append-time location — the reference's last raw char for
+        an entity-decoded char, and one (or two, for "</") past a RAW "<"
+        in RCDATA text, whose append is deferred until the tag lookahead
+        fails."""
         if data[0] in "\t\n\f\r ":
             return start
         anchors = token[4] if len(token) > 4 else None
-        return _anchor_pos(anchors, 1) if anchors else start + 1
+
+        def pos_of(d: int) -> tuple[int, bool]:
+            # (raw position of decoded char d, was it entity-decoded)
+            if anchors is None:
+                return start + d, False
+            j = 0
+            while j + 1 < len(anchors) and anchors[j + 1][0] <= d:
+                j += 1
+            d0, raw_start, raw_last = anchors[j]
+            if raw_last >= 0:
+                return raw_last, True
+            return raw_start + (d - d0), False
+
+        p, ent = pos_of(1)
+        if data[0] == "<" and not ent:
+            if len(data) > 1 and data[1] == "/" and not pos_of(2)[1]:
+                return p + 2
+            return p + 1
+        return p
 
     def _set_end_location(self, el: Element) -> None:
         tok = self._cur_tag_token

@@ -439,3 +439,15 @@ def test_skip_lf_sole_ws_token_advances_to_next_char():
     assert _spans("<pre>&#10; x</pre>") == [
         ("/0", -1, -1), ("/0/0", -1, -1), ("/0/1", -1, -1),
         ("/0/1/0", 0, 18), ("/0/1/0/0", 5, 12)]
+
+
+def test_skip_lf_deferred_lt_append_in_rcdata():
+    # a RAW "<" surviving as text in RCDATA is appended only after the
+    # tag lookahead fails: its creation position is one past the "<"
+    # (two for "</"); entity-decoded "<" is appended at its reference's
+    # last raw char and never deferred
+    assert _spans("<textarea>\n<b>z</b></textarea>")[-1] == ("/0/1/0/0", 12, 19)
+    assert _spans("<textarea>\n</b>x</textarea>")[-1] == ("/0/1/0/0", 13, 16)
+    assert _spans("<textarea>\n&lt;x</textarea>")[-1] == ("/0/1/0/0", 14, 16)
+    assert _spans("<textarea>\n<&sol;x</textarea>")[-1] == ("/0/1/0/0", 12, 18)
+    assert _spans("<textarea>&#10;<b>z</b></textarea>")[-1] == ("/0/1/0/0", 16, 23)
