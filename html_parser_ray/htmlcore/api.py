@@ -298,15 +298,36 @@ def _time_budget_start(budgets: Budgets | None) -> float | None:
 
 
 def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
-    out: list[ParseError] = []
+    """Reference-parity public error stream.
+
+    The reference surfaces exactly what its vendored parse5 reports via
+    onParseError (public/mod.ts:528-534 parseErrorTrace): every
+    tokenizer/preprocessor error plus ~12 parser-level codes
+    (parser/index.js _err sites, mirrored by TreeBuilder._perr). The
+    builder's rich spec-error list (builder.errors) stays internal
+    (trace counters, debugging). Streams interleave chronologically:
+    tokenizer/input-stream errors at their consumption offset, parser
+    errors between the last char of their token and the next char
+    (key 2e-1), EOF-token parser errors after all tokenization (2n+1)."""
+    from .tokenizer import scan_input_stream_errors
+    entries: list[tuple[int, int, int, str, int, int]] = []
+    seq = 0
+    # ranks at equal key: tokenizer errors are peek-driven (fire before
+    # the char at that offset is consumed) < input-stream errors
+    # (consume-driven) < character-token parser errors (flush-driven)
     for code, offset in tokenizer_errors:
-        out.append(ParseError("PARSER_ERROR", normalize_parse_error_id(code),
-                              code, (offset, offset)))
-    for rec in builder.errors:
-        span = (rec.start, rec.end) if rec.start is not None and rec.end is not None else None
-        out.append(ParseError("PARSER_ERROR", normalize_parse_error_id(rec.code),
-                              rec.code, span))
-    return out
+        entries.append((2 * offset, 0, seq, code, offset, offset))
+        seq += 1
+    for code, offset in scan_input_stream_errors(builder.tokenizer.html):
+        entries.append((2 * offset, 1, seq, code, offset, offset))
+        seq += 1
+    for code, start, end, key in builder.public_errors:
+        entries.append((key, 3, seq, code, start, end))
+        seq += 1
+    entries.sort(key=lambda t: (t[0], t[1], t[2]))
+    return [ParseError("PARSER_ERROR", normalize_parse_error_id(code),
+                       code, (s, e))
+            for _k, _r, _s2, code, s, e in entries]
 
 
 def parse(html: str, *, scripting_enabled: bool = True,

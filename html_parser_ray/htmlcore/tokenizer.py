@@ -70,6 +70,54 @@ _DOCTYPE_NAME_RUN = re.compile(r"[^\t\n\f >]+")
 
 _CR = re.compile(r"\r\n?")
 
+
+def _is_control_cp(cp: int) -> bool:
+    # parse5 unicode.js isControlCodePoint: C0 minus TAB/LF/FF/CR (and NUL,
+    # handled by the states), plus DEL..C1
+    return ((0x01 <= cp <= 0x1F and cp not in (0x09, 0x0A, 0x0C, 0x0D))
+            or 0x7F <= cp <= 0x9F)
+
+
+def _is_noncharacter(cp: int) -> bool:
+    return 0xFDD0 <= cp <= 0xFDEF or (cp & 0xFFFE) == 0xFFFE
+
+
+# input-stream character classes reported by the parse5 preprocessor at
+# consumption time (control / noncharacter / surrogate); \r never fires
+# (CR is in parse5's common-valid fast range) so newline normalization
+# upstream is observation-equivalent. PERF: astral chars in a regex
+# class defeat re's fast scan (~25 MB/s vs ~250 MB/s measured), so the
+# class is BMP-only and astral noncharacters (U+xFFFE/U+xFFFF per
+# plane) are probed with `in` — O(1) rejection on non-UCS4 strings
+# because CPython checks the needle against the string's kind first.
+_INPUT_STREAM_BAD_BMP = re.compile(
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f"
+    "\ufdd0-\ufdef\ud800-\udfff\ufffe\uffff]")
+_ASTRAL_NONCHARS = [chr(p * 0x10000 + o)
+                    for p in range(1, 17) for o in (0xFFFE, 0xFFFF)]
+
+
+def scan_input_stream_errors(text: str) -> list[tuple[str, int]]:
+    """(code, offset) for every problematic input char, in position order."""
+    out = []
+    for m in _INPUT_STREAM_BAD_BMP.finditer(text):
+        cp = ord(m.group())
+        if 0xD800 <= cp <= 0xDFFF:
+            out.append(("surrogate-in-input-stream", m.start()))
+        elif _is_noncharacter(cp):
+            out.append(("noncharacter-in-input-stream", m.start()))
+        else:
+            out.append(("control-character-in-input-stream", m.start()))
+    astral = [ch for ch in _ASTRAL_NONCHARS if ch in text]
+    if astral:
+        for ch in astral:
+            i = text.find(ch)
+            while i != -1:
+                out.append(("noncharacter-in-input-stream", i))
+                i = text.find(ch, i + 1)
+        out.sort(key=lambda t: t[1])
+    return out
+
 # spec case folding is ASCII-only: <pathß ÅÉ> keeps its non-ASCII chars
 # verbatim (Python str.lower() would unicode-fold them)
 _ASCII_LOWER_TABLE = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
@@ -116,7 +164,7 @@ class Tokenizer:
     __slots__ = (
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
         "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
-        "_text_starts", "errors", "capture_offsets",
+        "_text_starts", "errors", "emission_errors", "capture_offsets",
         "_initial_state_override", "_cdata_start",
     )
 
@@ -138,6 +186,11 @@ class Tokenizer:
         self._text_starts: list[int] = []
         self._text_start = 0
         self.errors: list[tuple[str, int]] = []  # (code, offset)
+        # end-tag-with-attributes / -trailing-solidus fire at token
+        # EMISSION in parse5 (_emitCurrentTagToken), i.e. chronologically
+        # AFTER the pending character token is flushed and processed;
+        # the tree builder splices these into the public stream per token
+        self.emission_errors: list[tuple[str, int]] = []
         self.capture_offsets = capture_offsets
         self._cdata_start = -1  # '<![CDATA[' marker start of an open section
 
@@ -677,7 +730,8 @@ class Tokenizer:
                     self_closing = True
                     pos += 2
                     break
-                self._err("unexpected-solidus-in-tag", pos)
+                # parse5 reports at the char FOLLOWING the offending '/'
+                self._err("unexpected-solidus-in-tag", pos + 1)
                 pos += 1
                 continue
             if c == "=":
@@ -736,9 +790,11 @@ class Tokenizer:
         self.pos = pos
         if is_end:
             if attrs:
-                self._err("end-tag-with-attributes", lt_pos)
+                self.emission_errors.append(
+                    ("end-tag-with-attributes", pos - 1))
             if self_closing:
-                self._err("end-tag-with-trailing-solidus", lt_pos)
+                self.emission_errors.append(
+                    ("end-tag-with-trailing-solidus", pos - 1))
             self._emit((END, name, lt_pos, pos))
         else:
             self.last_start_tag = name
@@ -834,8 +890,17 @@ class Tokenizer:
             else:
                 self._err("missing-semicolon-after-character-reference", newpos)
             value = int(digits, 16 if hex_mode else 10)
-            if value > 0x10FFFF:
+            if value == 0:
+                self._err("null-character-reference", newpos)
+            elif value > 0x10FFFF:
+                self._err("character-reference-outside-unicode-range", newpos)
                 value = 0x110000
+            elif 0xD800 <= value <= 0xDFFF:
+                self._err("surrogate-character-reference", newpos)
+            elif _is_noncharacter(value):
+                self._err("noncharacter-character-reference", newpos)
+            elif value == 0x0D or _is_control_cp(value):
+                self._err("control-character-reference", newpos)
             return replace_numeric_codepoint(value), newpos
         matched = match_entity(s, pos)
         if matched is None:
@@ -875,7 +940,8 @@ class Tokenizer:
                 if self._qidx >= len(self._queue):
                     self._run_cdata()
                 return
-            self._err("cdata-in-html-content", pos)
+            # parse5 errs after consuming '[CDATA[' (last '[' position)
+            self._err("cdata-in-html-content", pos + 6)
             self.pos = pos + 7
             self._bogus_comment(lt_pos, initial="[CDATA[")
             return
@@ -972,8 +1038,13 @@ class Tokenizer:
                 pos += 1
                 continue
             if c == "<":
-                # comment less-than-sign states: only matters for nested
-                # comment parse error; the text is appended verbatim
+                # comment less-than-sign-bang-dash-dash: "<!--" inside a
+                # comment followed by anything but ">" (or EOF) is the
+                # nested-comment error, at the offending char (parse5
+                # tokenizer/index.js:1921); the text is appended verbatim
+                if (s.startswith("!--", pos + 1)
+                        and pos + 4 < n and s[pos + 4] != ">"):
+                    self._err("nested-comment", pos + 4)
                 parts.append("<")
                 pos += 1
                 continue

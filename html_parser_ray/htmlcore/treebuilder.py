@@ -60,7 +60,10 @@ _SEGMENTED_MODES = frozenset({
 _MARKER = object()  # active-formatting-elements marker
 
 import re as _re
-_SEG_RE = _re.compile(r"[\t\n\f\r ]+|[^\t\n\f\r ]+")
+# parse5 batches chars into THREE token types (NULL / whitespace /
+# character, tokenizer/index.js:433-447); segment the same way so
+# flush-time error keys land on the right type-switch boundary
+_SEG_RE = _re.compile(r"[\t\n\f\r ]+|\x00+|[^\t\n\f\r \x00]+")
 
 
 def _anchor_pos(anchors: tuple, d: int) -> int:
@@ -126,6 +129,12 @@ class TreeBuilder:
         self.ignore_next_lf = False
         self._cur_token: tuple | None = None
         self._cur_tag_token: tuple | None = None
+        # parse5-reported (public) errors: (code, start, end, detect_key).
+        # parse5's parser reports only ~12 tree-level codes (parser/index.js
+        # _err call sites); everything else in self.errors is internal.
+        self.public_errors: list[tuple[str, int, int, int]] = []
+        self._unkeyed: list[int] = []  # public_errors indices awaiting a key
+        self._ack_sc = True  # self-closing acknowledged (parse5 ackSelfClosing)
         self._end_tagged: set[int] = set()  # id(el) with explicit end tags
         self.saw_select = False  # lets api skip the select/option patch walk
 
@@ -195,29 +204,91 @@ class TreeBuilder:
             tk.single_step = (frag_foreign
                               or any(el.ns != HTML_NS for el in stack))
             done = False
+            capture = self.capture_spans
             for token in tk.drain():
+                kind = token[0]
+                if kind != CHARS:
+                    if self._unkeyed or tk.emission_errors:
+                        self._flush_pending_public(token, kind)
+                    if self.ignore_next_lf:
+                        # the skip-next-LF rule applies only to the
+                        # immediately following character token
+                        self.ignore_next_lf = False
+                    if capture and (kind == START or kind == END):
+                        # parse5 updates parser.currentToken only in
+                        # onStartTag/onEndTag (parser/index.js:899,1022) —
+                        # character/comment/doctype/EOF tokens never become
+                        # the "closing token" for end-location stamping;
+                        # pops during EOF processing (eofInText,
+                        # eofInTemplate) stamp from the LAST TAG token, and
+                        # the stopParsing EOF extension is applied
+                        # explicitly in _stop_parsing
+                        self._cur_tag_token = token
                 self._cur_token = token
-                if self.capture_spans and token[0] in (START, END):
-                    # parse5 updates parser.currentToken only in
-                    # onStartTag/onEndTag (parser/index.js:899,1022) —
-                    # character/comment/doctype/EOF tokens never become the
-                    # "closing token" for end-location stamping; pops during
-                    # EOF processing (eofInText, eofInTemplate) stamp from
-                    # the LAST TAG token, and the stopParsing EOF extension
-                    # is applied explicitly in _stop_parsing
-                    self._cur_tag_token = token
-                if self.ignore_next_lf and token[0] != CHARS:
-                    # the skip-next-LF rule applies only to the immediately
-                    # following character token
-                    self.ignore_next_lf = False
-                self._dispatch(token)
-                if token[0] == EOF:
+                if kind == START and token[3]:
+                    # parse5 onStartTag: report self-closing start tags no
+                    # handler acknowledged (void/foreign sites set _ack_sc)
+                    self._ack_sc = False
+                    self._dispatch(token)
+                    if not self._ack_sc:
+                        self._perr("non-void-html-element-start-tag-"
+                                   "with-trailing-solidus", token)
+                else:
+                    self._dispatch(token)
+                if kind == EOF:
                     done = True
                     break
             if done:
                 break
 
+    def _flush_pending_public(self, token: tuple, kind: int) -> None:
+        """Key pending character-token parser errors and splice this end
+        tag's emission-time tokenizer errors (rare path, see _perr)."""
+        tk = self.tokenizer
+        k = 2 * tk.n + 1 if kind == EOF else 2 * token[-1] - 1
+        if self._unkeyed:
+            # parse5 flushes pending character tokens right before
+            # EMITTING the next non-char token — parser errors from
+            # processing those chars sort after every tokenizer error
+            # of this token
+            pe = self.public_errors
+            for i in self._unkeyed:
+                c, s, e, _ = pe[i]
+                pe[i] = (c, s, e, k)
+            self._unkeyed.clear()
+        if kind == END and tk.emission_errors:
+            # emission-time tokenizer errors for this end tag: after the
+            # chars flush, before the tag's own parser errors
+            while (tk.emission_errors
+                   and tk.emission_errors[0][1] < token[-1]):
+                code, off = tk.emission_errors.pop(0)
+                self.public_errors.append((code, off, off, k))
+
     # ------------------------------------------------------------ small utils
+
+    def _perr(self, code: str, token: tuple, before: bool = False) -> None:
+        """parse5 parser._err: public error with the token's span (or
+        zero-width at its start when before=True); detect key = token end
+        for chronological interleave with tokenizer/input-stream errors."""
+        if token[0] == EOF:
+            n = self.tokenizer.n
+            # EOF-token errors fire after all tokenization: key 2n+1
+            self.public_errors.append((code, n, n, 2 * n + 1))
+            return
+        if token[0] == CHARS:
+            # character tokens are flushed lazily (parse5
+            # _emitCurrentCharacterToken): at a ws/char type switch the
+            # segment loop keys the error at the boundary; otherwise the
+            # drain loop keys it at the next non-char token's emission.
+            # Until then the key is pending.
+            s, e = token[2], token[3]
+            self._unkeyed.append(len(self.public_errors))
+            self.public_errors.append((code, s, s if before else e, -1))
+            return
+        s, e = token[-2], token[-1]
+        # tag/comment/doctype tokens are processed right after their last
+        # char and before the next char is consumed: odd key 2e-1
+        self.public_errors.append((code, s, s if before else e, 2 * e - 1))
 
     def _err(self, code: str, token: tuple | None = None) -> None:
         tok = token or self._cur_token
@@ -741,6 +812,15 @@ class TreeBuilder:
                         seg_end = (raw_last if raw_last >= 0
                                    else raw_start + (d - d0))
                     self._process((CHARS, seg, seg_start, seg_end))
+                    if k != last and self._unkeyed:
+                        # parse5 emits the sub-token at the ws/char TYPE
+                        # SWITCH: its processing time is the boundary (the
+                        # last segment stays pending for the drain loop)
+                        pe = self.public_errors
+                        for i in self._unkeyed:
+                            c, s, e, _ = pe[i]
+                            pe[i] = (c, s, e, 2 * seg_end)
+                        self._unkeyed.clear()
                     seg_start = seg_end
                 return
         handler = _MODE_HANDLERS[self.mode]
@@ -793,6 +873,7 @@ class TreeBuilder:
             adjust = "svg" if ns == SVG_NS else ("math" if ns == MATHML_NS else None)
             el = self._create_element(token, ns, adjust)
             self._insert_at(self._appropriate_place(), el)
+            self._ack_sc = True  # foreign content always acks self-closing
             if token[3]:  # self-closing
                 if self.capture_spans:
                     el.end = token[-1]
@@ -857,11 +938,16 @@ class TreeBuilder:
             _, name, public_id, system_id, force_quirks, start, end = token
             node = Doctype(name or "", public_id, system_id, start, end)
             self._append(self.doc, node)
+            if not (name == "html" and public_id is None
+                    and (system_id is None
+                         or system_id == "about:legacy-compat")):
+                self._perr("non-conforming-doctype", token)
             self.doc.quirks_mode = doctype_quirks(name, public_id, system_id, force_quirks)
             self.mode = BEFORE_HTML
             return
         # anything else
         self._err("missing-doctype")
+        self._perr("missing-doctype", token, before=True)
         self.doc.quirks_mode = "quirks"
         self.mode = BEFORE_HTML
         self._process(token)
@@ -913,6 +999,7 @@ class TreeBuilder:
             return
         elif kind == DOCTYPE:
             self._err("unexpected-doctype")
+            self._perr("misplaced-doctype", token)
             return
         elif kind == START:
             if token[1] == "html":
@@ -924,6 +1011,7 @@ class TreeBuilder:
                 return
         elif kind == END and token[1] not in ("head", "body", "html", "br"):
             self._err("unexpected-end-tag")
+            self._perr("end-tag-without-matching-open-element", token)
             return
         self.head_el = self._insert_phantom("head")
         self.mode = IN_HEAD
@@ -947,6 +1035,7 @@ class TreeBuilder:
             return
         elif kind == DOCTYPE:
             self._err("unexpected-doctype")
+            self._perr("misplaced-doctype", token)
             return
         elif kind == START:
             name = token[1]
@@ -956,6 +1045,7 @@ class TreeBuilder:
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 el = self._insert_element(token)
                 self.stack.pop()
+                self._ack_sc = True
                 if self.capture_spans:
                     el.end = token[-1]
                 return
@@ -985,6 +1075,7 @@ class TreeBuilder:
                 return
             if name == "head":
                 self._err("duplicate-head")
+                self._perr("misplaced-start-tag-for-head-element", token)
                 return
         elif kind == END:
             name = token[1]
@@ -995,10 +1086,13 @@ class TreeBuilder:
             if name == "template":
                 if not any(e.name == "template" and e.ns == HTML_NS for e in self.stack):
                     self._err("unexpected-end-tag")
+                    self._perr("end-tag-without-matching-open-element", token)
                     return
                 self._generate_implied_end(thorough=True)
                 if self.current.name != "template":
                     self._err("closing-of-element-with-open-child-elements")
+                    self._perr("closing-of-element-with-open-child-elements",
+                               token)
                 self._pop_until_name("template")
                 self._afe_clear_to_marker()
                 if self.template_modes:
@@ -1007,6 +1101,7 @@ class TreeBuilder:
                 return
             if name not in ("body", "html", "br"):
                 self._err("unexpected-end-tag")
+                self._perr("end-tag-without-matching-open-element", token)
                 return
         self._pop()
         self.mode = AFTER_HEAD
@@ -1018,6 +1113,7 @@ class TreeBuilder:
         kind = token[0]
         if kind == DOCTYPE:
             self._err("unexpected-doctype")
+            self._perr("misplaced-doctype", token)
             return
         if kind == START:
             name = token[1]
@@ -1029,6 +1125,8 @@ class TreeBuilder:
                 return
             if name in ("head", "noscript"):
                 self._err("unexpected-start-tag")
+                if name == "noscript":
+                    self._perr("nested-noscript-in-head", token)
                 return
         elif kind == END:
             if token[1] == "noscript":
@@ -1037,6 +1135,7 @@ class TreeBuilder:
                 return
             if token[1] != "br":
                 self._err("unexpected-end-tag")
+                self._perr("end-tag-without-matching-open-element", token)
                 return
         elif kind == COMMENT:
             self._m_in_head(token)
@@ -1051,6 +1150,8 @@ class TreeBuilder:
                 return
             token = (CHARS, data[ws_len:], token[2] + ws_len, token[3])
         self._err("unexpected-token-in-head-noscript")
+        self._perr("open-elements-left-after-eof" if kind == EOF
+                   else "disallowed-content-in-noscript-in-head", token)
         self._pop()
         self.mode = IN_HEAD
         self._process(token)
@@ -1074,6 +1175,7 @@ class TreeBuilder:
             return
         elif kind == DOCTYPE:
             self._err("unexpected-doctype")
+            self._perr("misplaced-doctype", token)
             return
         elif kind == START:
             name = token[1]
@@ -1091,6 +1193,7 @@ class TreeBuilder:
                 return
             if name in _IN_HEAD_START and name != "noscript":
                 self._err("unexpected-start-tag-out-of-head")
+                self._perr("abandoned-head-element-child", token)
                 assert self.head_el is not None
                 self.stack.append(self.head_el)
                 self._m_in_head(token)
@@ -1101,6 +1204,7 @@ class TreeBuilder:
                 return
             if name == "head":
                 self._err("unexpected-start-tag")
+                self._perr("misplaced-start-tag-for-head-element", token)
                 return
         elif kind == END:
             if token[1] == "template":
@@ -1108,6 +1212,7 @@ class TreeBuilder:
                 return
             if token[1] not in ("body", "html", "br"):
                 self._err("unexpected-end-tag")
+                self._perr("end-tag-without-matching-open-element", token)
                 return
         self._insert_phantom("body")
         self.mode = IN_BODY
@@ -1328,6 +1433,7 @@ class TreeBuilder:
         # area br embed img keygen wbr
         self._reconstruct_afe()
         el = self._insert_element(token)
+        self._ack_sc = True
         self.stack.pop()
         if self.capture_spans:
             el.end = token[-1]
@@ -1336,6 +1442,7 @@ class TreeBuilder:
     def _ibs_input(self, token: tuple) -> None:
         self._reconstruct_afe()
         el = self._insert_element(token)
+        self._ack_sc = True
         self.stack.pop()
         if self.capture_spans:
             el.end = token[-1]
@@ -1346,6 +1453,7 @@ class TreeBuilder:
     def _ibs_param(self, token: tuple) -> None:
         # param source track
         el = self._insert_element(token)
+        self._ack_sc = True
         self.stack.pop()
         if self.capture_spans:
             el.end = token[-1]
@@ -1354,6 +1462,7 @@ class TreeBuilder:
         if self._has_in_scope("p", SCOPE_BUTTON):
             self._close_p()
         el = self._insert_element(token)
+        self._ack_sc = True
         self.stack.pop()
         if self.capture_spans:
             el.end = token[-1]
@@ -1417,6 +1526,7 @@ class TreeBuilder:
 
     def _ibs_math(self, token: tuple) -> None:
         self._reconstruct_afe()
+        self._ack_sc = True
         el = self._create_element(token, MATHML_NS, "math")
         self._insert_at(self._appropriate_place(), el)
         if token[3]:
@@ -1427,6 +1537,7 @@ class TreeBuilder:
 
     def _ibs_svg(self, token: tuple) -> None:
         self._reconstruct_afe()
+        self._ack_sc = True
         el = self._create_element(token, SVG_NS, "svg")
         self._insert_at(self._appropriate_place(), el)
         if token[3]:
@@ -1696,6 +1807,7 @@ class TreeBuilder:
             return
         if kind == EOF:
             self._err("eof-in-element-that-can-contain-only-text")
+            self._perr("eof-in-element-that-can-contain-only-text", token)
             # parse5 eofInText pops while currentToken is still the
             # element's own START tag (char tokens in TEXT mode don't
             # update it), so _setEndLocation lands on the not-an-end-tag
@@ -1787,6 +1899,7 @@ class TreeBuilder:
                 self._err("unexpected-hidden-input-in-table")
                 el = self._insert_element(token)
                 self.stack.pop()
+                self._ack_sc = True
                 if self.capture_spans:
                     el.end = token[-1]
                 return
@@ -1945,6 +2058,7 @@ class TreeBuilder:
             if name == "col":
                 el = self._insert_element(token)
                 self.stack.pop()
+                self._ack_sc = True
                 if self.capture_spans:
                     el.end = token[-1]
                 return
@@ -2195,6 +2309,7 @@ class TreeBuilder:
                     self._pop()
                 el = self._insert_element(token)
                 self.stack.pop()
+                self._ack_sc = True
                 if self.capture_spans:
                     el.end = token[-1]
                 return
@@ -2405,6 +2520,7 @@ class TreeBuilder:
             if name == "frame":
                 el = self._insert_element(token)
                 self.stack.pop()
+                self._ack_sc = True
                 if self.capture_spans:
                     el.end = token[-1]
                 return

@@ -318,14 +318,18 @@ def test_char_token_pop_stamps_last_tag_token_location():
 
 
 def test_error_span_positional_on_anchored_char_token():
-    # a parse error recorded while the current token is an anchored
-    # 5-tuple CHARS token must use positional (start, end), never the
-    # anchors tail
+    # error spans stay int 2-tuples even when the current token is an
+    # anchored 5-tuple CHARS token, and the PUBLIC stream matches the
+    # reference's parse5 report exactly (error_oracle.mjs golden): the
+    # tree-level NUL report is internal-only, the tokenizer-level one
+    # is zero-width at the NUL
     tree = parse("<body>a\x00&amp;b", capture_spans=True)
     spans = [e.span for e in tree.errors]
     assert all(isinstance(s, tuple) and len(s) == 2
                and all(isinstance(x, int) for x in s) for s in spans)
-    assert (6, 14) in spans  # unexpected-null-character over the run
+    assert [(e.parse_error_id, e.span) for e in tree.errors] == [
+        ("missing-doctype", (0, 0)),
+        ("unexpected-null-character", (7, 7))]
 
 
 # ---------------------------------------------------------------------------

@@ -4,7 +4,11 @@ from html_parser_ray.htmlcore.api import Budgets, parse, parse_bytes
 
 
 def test_trace_schema_and_monotonic_seq():
-    tree = parse("<!doctype html><table><tr><td>a</td></tr>outside"
+    # the &amp-without-semicolon supplies a parse5-REPORTED error: the
+    # public stream (and so the parseError trace) now carries only what
+    # the reference's vendored parse5 reports via onParseError — table
+    # foster-parenting errors are internal
+    tree = parse("<!doctype html>&amp <table><tr><td>a</td></tr>outside"
                  "<tr><td>b</td></tr></table>", trace=True,
                  budgets=Budgets(max_trace_events=128,
                                  max_trace_bytes=32768))
