@@ -297,6 +297,14 @@ def _time_budget_start(budgets: Budgets | None) -> float | None:
     return time.monotonic()
 
 
+_POST_CONSUMPTION_ERRS = frozenset([
+    "invalid-first-character-of-tag-name",
+    "unexpected-solidus-in-tag",
+    "unexpected-character-in-attribute-name",
+    "unexpected-character-in-unquoted-attribute-value",
+])
+
+
 def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
     """Reference-parity public error stream.
 
@@ -312,11 +320,14 @@ def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
     from .tokenizer import scan_input_stream_errors
     entries: list[tuple[int, int, int, str, int, int]] = []
     seq = 0
-    # ranks at equal key: tokenizer errors are peek-driven (fire before
-    # the char at that offset is consumed) < input-stream errors
-    # (consume-driven) < character-token parser errors (flush-driven)
+    # ranks at equal key: most tokenizer errors are peek-driven (fire
+    # before the char at their offset is consumed) < input-stream errors
+    # (consume-driven) < character-token parser errors (flush-driven).
+    # A few tokenizer errors report AT an already-consumed char and sort
+    # after the input-stream error for it (verified per-site vs parse5).
     for code, offset in tokenizer_errors:
-        entries.append((2 * offset, 0, seq, code, offset, offset))
+        rank = 2 if code in _POST_CONSUMPTION_ERRS else 0
+        entries.append((2 * offset, rank, seq, code, offset, offset))
         seq += 1
     for code, offset in scan_input_stream_errors(builder.tokenizer.html):
         entries.append((2 * offset, 1, seq, code, offset, offset))

@@ -164,7 +164,9 @@ class Tokenizer:
     __slots__ = (
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
         "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
-        "_text_starts", "errors", "emission_errors", "capture_offsets",
+        "_text_starts", "_text_ends", "errors", "emission_errors",
+        "capture_offsets",
+        "_track_starts",
         "_initial_state_override", "_cdata_start",
     )
 
@@ -184,6 +186,7 @@ class Tokenizer:
         self._qidx = 0
         self._text_parts: list[str] = []
         self._text_starts: list[int] = []
+        self._text_ends: list[int] = []
         self._text_start = 0
         self.errors: list[tuple[str, int]] = []  # (code, offset)
         # end-tag-with-attributes / -trailing-solidus fire at token
@@ -192,6 +195,13 @@ class Tokenizer:
         # the tree builder splices these into the public stream per token
         self.emission_errors: list[tuple[str, int]] = []
         self.capture_offsets = capture_offsets
+        # per-part start bookkeeping feeds the segmentation anchors. It is
+        # needed whenever a text run's raw extent differs from its decoded
+        # length (charrefs, CDATA): the PUBLIC ERROR STREAM's keys/spans
+        # depend on anchor-exact boundaries even with span capture off, so
+        # tracking switches on lazily at the first charref/CDATA in a run
+        # (_ensure_starts backfills the contiguous plain prefix).
+        self._track_starts = capture_offsets
         self._cdata_start = -1  # '<![CDATA[' marker start of an open section
 
     # ---- error + text plumbing -------------------------------------------
@@ -199,20 +209,39 @@ class Tokenizer:
     def _err(self, code: str, offset: int | None = None) -> None:
         self.errors.append((code, self.pos if offset is None else offset))
 
-    def _text(self, value: str, start: int) -> None:
+    def _text(self, value: str, start: int, raw_end: int = -1) -> None:
+        """Append text; raw_end is the raw extent for parts whose source
+        is wider than the value (charrefs, CDATA) — default: start+len."""
         if value:
             if not self._text_parts:
                 self._text_start = start
             self._text_parts.append(value)
-            if self.capture_offsets:
+            if self._track_starts:
                 self._text_starts.append(start)
+                self._text_ends.append(
+                    start + len(value) if raw_end < 0 else raw_end)
+
+    def _ensure_starts(self) -> None:
+        """Begin per-part start/end tracking mid-run: every part so far is
+        plain contiguous text (raw == decoded), so extents reconstruct
+        arithmetically from the run start."""
+        if not self._track_starts:
+            starts, ends = [], []
+            p = self._text_start
+            for part in self._text_parts:
+                starts.append(p)
+                p += len(part)
+                ends.append(p)
+            self._text_starts = starts
+            self._text_ends = ends
+            self._track_starts = True
 
     def _flush_text(self, end: int) -> None:
         parts = self._text_parts
         if parts:
             data = "".join(parts)
             start = self._text_start
-            if self.capture_offsets and end - start != len(data):
+            if self._track_starts and end - start != len(data):
                 # the run contains decoded character references (raw longer
                 # than decoded). parse5 places ws/non-ws character-token
                 # boundaries at the preprocessor position of the boundary
@@ -223,11 +252,12 @@ class Tokenizer:
                 # builder can recover those positions when it segments a
                 # mixed run: (decoded_index, raw_start, raw_last_or_-1).
                 starts = self._text_starts
+                ends = self._text_ends
                 anchors = []
                 d = 0
                 for i, p in enumerate(parts):
                     raw_start = starts[i]
-                    raw_end = starts[i + 1] if i + 1 < len(parts) else end
+                    raw_end = ends[i]
                     anchors.append(
                         (d, raw_start,
                          -1 if raw_end - raw_start == len(p)
@@ -238,6 +268,8 @@ class Tokenizer:
                 token = (CHARS, data, start, end)
             self._text_parts = []
             self._text_starts = []
+            self._text_ends = []
+            self._track_starts = self.capture_offsets
             self._queue.append(token)
 
     def _emit(self, token: tuple) -> None:
@@ -366,7 +398,7 @@ class Tokenizer:
                 if decoded is None:
                     self._text("&", pos)
                 else:
-                    self._text(decoded, pos)
+                    self._text(decoded, pos, newpos)
                 pos = newpos
             else:  # NUL
                 self._err("unexpected-null-character", pos)
@@ -398,7 +430,7 @@ class Tokenizer:
                 if decoded is None:
                     self._text("&", pos)
                 else:
-                    self._text(decoded, pos)
+                    self._text(decoded, pos, newpos)
                 pos = newpos
             else:
                 self._err("unexpected-null-character", pos)
@@ -587,14 +619,15 @@ class Tokenizer:
         pos = self.pos
         start = self._cdata_start if self._cdata_start >= 0 else pos
         self._cdata_start = -1
+        self._ensure_starts()  # CDATA parts are raw-wider than decoded
         end = s.find("]]>", pos)
         if end == -1:
             self._err("eof-in-cdata", n)
-            self._text(s[pos:], start)
+            self._text(s[pos:], start, n)
             self.pos = n
             self._eof()
             return
-        self._text(s[pos:end], start)
+        self._text(s[pos:end], start, end + 3)
         self.pos = end + 3
         self.state = DATA
         self._flush_text(self.pos)
@@ -726,7 +759,12 @@ class Tokenizer:
                 pos += 1
                 break
             if c == "/":
-                if pos + 1 < n and s[pos + 1] == ">":
+                if pos + 1 >= n:
+                    # EOF in self-closing-start-tag state: only eof-in-tag
+                    # is reported (parse5 _stateSelfClosingStartTag)
+                    pos += 1
+                    continue
+                if s[pos + 1] == ">":
                     self_closing = True
                     pos += 2
                     break
@@ -766,11 +804,16 @@ class Tokenizer:
                 pos = m.end()
             else:
                 aname = ""
-            if "\x00" in aname:
-                self._err("unexpected-null-character", pos)
+            if ("\x00" in aname or '"' in aname or "'" in aname
+                    or "<" in aname):
+                # parse5 reports one error PER offending char, at the char
+                for i, ch in enumerate(aname):
+                    if ch == "\x00":
+                        self._err("unexpected-null-character", astart + i)
+                    elif ch in "\"'<":
+                        self._err("unexpected-character-in-attribute-name",
+                                  astart + i)
                 aname = aname.replace("\x00", "�")
-            if '"' in aname or "'" in aname or "<" in aname:
-                self._err("unexpected-character-in-attribute-name", pos)
             aname = _ascii_lower(aname)
             # after attribute name: ws* then '=', or next attr / close
             ws_end = pos
@@ -836,7 +879,8 @@ class Tokenizer:
                     self._err("unexpected-null-character", pos)
                     parts.append("�")
                     pos += 1
-            self._err("eof-in-tag", pos)
+            # EOF inside the quoted value: the attribute loop's own
+            # pos >= n check reports the single eof-in-tag
             return pos, "".join(parts), pos
         # unquoted
         start = pos
@@ -845,7 +889,11 @@ class Tokenizer:
             if m:
                 chunk = m.group()
                 if any(q in chunk for q in "\"'<=`"):
-                    self._err("unexpected-character-in-unquoted-attribute-value", pos)
+                    # parse5: one error PER offending char, at the char
+                    for i, q in enumerate(chunk):
+                        if q in "\"'<=`":
+                            self._err("unexpected-character-in-unquoted-"
+                                      "attribute-value", pos + i)
                 parts.append(chunk)
                 pos = m.end()
                 if pos >= n:
@@ -869,6 +917,8 @@ class Tokenizer:
 
     def _charref(self, pos: int, in_attr: bool) -> tuple[str | None, int]:
         """pos = index after '&'. Returns (decoded or None, new_pos)."""
+        if not in_attr:
+            self._ensure_starts()
         s, n = self.html, self.n
         if pos >= n:
             return None, pos

@@ -18,7 +18,7 @@ from .dom import (
     SPECIAL_HTML, FORMATTING, IMPLIED_END, IMPLIED_END_THOROUGH, HEADINGS,
     TABLE_CONTEXT, SCOPE_DEFAULT, SCOPE_LIST_ITEM, SCOPE_BUTTON, SCOPE_TABLE,
     SVG_TAG_ADJUST, SVG_ATTR_ADJUST, FOREIGN_ATTR_ADJUST, FOREIGN_BREAKOUT,
-    is_special, is_mathml_text_ip, is_html_ip, is_all_ws, doctype_quirks,
+    is_special, is_mathml_text_ip, is_html_ip, doctype_quirks,
 )
 from .tokenizer import (
     Tokenizer, CHARS, START, END, COMMENT, DOCTYPE, EOF,
@@ -63,7 +63,14 @@ import re as _re
 # parse5 batches chars into THREE token types (NULL / whitespace /
 # character, tokenizer/index.js:433-447); segment the same way so
 # flush-time error keys land on the right type-switch boundary
-_SEG_RE = _re.compile(r"[\t\n\f\r ]+|\x00+|[^\t\n\f\r \x00]+")
+_SEG_RE = _re.compile(r"[\t\n\f ]+|\x00+|[^\t\n\f \x00]+")
+
+
+_TYPE_WS = "\t\n\f "  # parse5 WHATSPACE token type: SPACE/LF/TAB/FF, NO CR
+
+
+def _is_type_ws(s: str) -> bool:
+    return not s.strip(_TYPE_WS)
 
 
 def _anchor_pos(anchors: tuple, d: int) -> int:
@@ -500,7 +507,7 @@ class TreeBuilder:
         an entity-decoded char, and one (or two, for "</") past a RAW "<"
         in RCDATA text, whose append is deferred until the tag lookahead
         fails."""
-        if data[0] in "\t\n\f\r ":
+        if data[0] in _TYPE_WS:
             return start
         anchors = token[4] if len(token) > 4 else None
 
@@ -845,7 +852,7 @@ class TreeBuilder:
                     data = data[1:]
                     start = self._lf_strip_start(token, data, start)
             self._insert_text(data, start, token[3])
-            if not is_all_ws(data):
+            if not _is_type_ws(data):
                 self.frameset_ok = False
             return
         if kind == COMMENT:
@@ -926,7 +933,7 @@ class TreeBuilder:
     def _m_initial(self, token: tuple) -> None:
         kind = token[0]
         if kind == CHARS:
-            data = token[1].lstrip("\t\n\f\r ")
+            data = token[1].lstrip(_TYPE_WS)
             if not data:
                 return
             k = len(token[1]) - len(data)
@@ -963,7 +970,7 @@ class TreeBuilder:
             self._append(self.doc, Comment(token[1], token[2], token[3]))
             return
         if kind == CHARS:
-            data = token[1].lstrip("\t\n\f\r ")
+            data = token[1].lstrip(_TYPE_WS)
             if not data:
                 return
             k = len(token[1]) - len(data)
@@ -988,7 +995,7 @@ class TreeBuilder:
     def _m_before_head(self, token: tuple) -> None:
         kind = token[0]
         if kind == CHARS:
-            data = token[1].lstrip("\t\n\f\r ")
+            data = token[1].lstrip(_TYPE_WS)
             if not data:
                 return
             k = len(token[1]) - len(data)
@@ -1023,7 +1030,7 @@ class TreeBuilder:
         kind = token[0]
         if kind == CHARS:
             data = token[1]
-            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            ws_len = len(data) - len(data.lstrip(_TYPE_WS))
             if ws_len:
                 self._insert_text(data[:ws_len], token[2], token[3] if ws_len == len(data) else token[2])
             if ws_len == len(data):
@@ -1142,7 +1149,7 @@ class TreeBuilder:
             return
         elif kind == CHARS:
             data = token[1]
-            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            ws_len = len(data) - len(data.lstrip(_TYPE_WS))
             if ws_len:
                 self._insert_text(data[:ws_len], token[2],
                                   token[3] if ws_len == len(data) else token[2])
@@ -1162,7 +1169,7 @@ class TreeBuilder:
         kind = token[0]
         if kind == CHARS:
             data = token[1]
-            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            ws_len = len(data) - len(data.lstrip(_TYPE_WS))
             if ws_len:
                 self._insert_text(data[:ws_len], token[2],
                                   token[3] if ws_len == len(data) else token[2])
@@ -1246,7 +1253,7 @@ class TreeBuilder:
                 return
         self._reconstruct_afe()
         self._insert_text(data, start, token[3])
-        if not is_all_ws(data):
+        if not _is_type_ws(data):
             self.frameset_ok = False
 
     def _ib_comment(self, token: tuple) -> None:
@@ -1966,7 +1973,7 @@ class TreeBuilder:
             return
         pending = self.pending_table_text
         self.pending_table_text = []
-        all_ws = all(is_all_ws(d) for d, _, _ in pending)
+        all_ws = all(_is_type_ws(d) for d, _, _ in pending)
         if not all_ws:
             self._err("non-space-in-table-text")
             for d, s, e in pending:
@@ -1974,7 +1981,7 @@ class TreeBuilder:
                 self._reconstruct_afe()
                 self._insert_text(d, s, e)
                 self.foster_parenting = False
-                if not is_all_ws(d):
+                if not _is_type_ws(d):
                     self.frameset_ok = False
         else:
             for d, s, e in pending:
@@ -2036,7 +2043,7 @@ class TreeBuilder:
         kind = token[0]
         if kind == CHARS:
             data = token[1]
-            ws_len = len(data) - len(data.lstrip("\t\n\f\r "))
+            ws_len = len(data) - len(data.lstrip(_TYPE_WS))
             if ws_len:
                 self._insert_text(data[:ws_len], token[2],
                                   token[3] if ws_len == len(data) else token[2])
@@ -2452,7 +2459,7 @@ class TreeBuilder:
     def _m_after_body(self, token: tuple) -> None:
         kind = token[0]
         if kind == CHARS:
-            if is_all_ws(token[1]):
+            if _is_type_ws(token[1]):
                 self._m_in_body(token)
                 return
             self._err("unexpected-char-after-body")
@@ -2496,7 +2503,7 @@ class TreeBuilder:
     def _m_in_frameset(self, token: tuple) -> None:
         kind = token[0]
         if kind == CHARS:
-            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            ws = "".join(c for c in token[1] if c in _TYPE_WS)
             if len(ws) != len(token[1]):
                 self._err("unexpected-char-in-frameset")
             if ws:
@@ -2549,7 +2556,7 @@ class TreeBuilder:
     def _m_after_frameset(self, token: tuple) -> None:
         kind = token[0]
         if kind == CHARS:
-            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            ws = "".join(c for c in token[1] if c in _TYPE_WS)
             if len(ws) != len(token[1]):
                 self._err("unexpected-char-after-frameset")
             if ws:
@@ -2589,7 +2596,7 @@ class TreeBuilder:
             self._m_in_body(token)
             return
         if kind == CHARS:
-            if is_all_ws(token[1]):
+            if _is_type_ws(token[1]):
                 self._m_in_body(token)
                 return
             self._err("unexpected-char-after-body")
@@ -2617,7 +2624,7 @@ class TreeBuilder:
             self._m_in_body(token)
             return
         if kind == CHARS:
-            ws = "".join(c for c in token[1] if c in "\t\n\f\r ")
+            ws = "".join(c for c in token[1] if c in _TYPE_WS)
             if len(ws) != len(token[1]):
                 self._err("unexpected-char-after-frameset")
             if ws:
