@@ -344,6 +344,17 @@ def _collect_errors(builder: TreeBuilder, tokenizer_errors) -> list[ParseError]:
 def parse(html: str, *, scripting_enabled: bool = True,
           capture_spans: bool = False, budgets: Budgets | None = None,
           trace: bool = False) -> ParseTree:
+    """Parse a document (reference parity target: src/public/mod.ts parse).
+
+    OFFSET CONTRACT (deliberate divergence from the reference): all spans
+    and error offsets are CODE-POINT offsets into the NEWLINE-NORMALIZED
+    input (\\r\\n / \\r -> \\n), i.e. directly usable to slice this Python
+    string. The reference, being a JS engine, reports UTF-16 code-unit
+    offsets into the raw input — for documents containing \\r\\n or astral
+    characters the two conventions differ by the number of collapsed CRs
+    / astral chars before the offset. patch.compute_patch maps spans back
+    to the original string where byte-accurate editing is required.
+    """
     ensure_recursion_headroom()
     _enforce("maxInputBytes",
              budgets.max_input_bytes if budgets else None, len(html))
