@@ -917,8 +917,6 @@ class Tokenizer:
 
     def _charref(self, pos: int, in_attr: bool) -> tuple[str | None, int]:
         """pos = index after '&'. Returns (decoded or None, new_pos)."""
-        if not in_attr:
-            self._ensure_starts()
         s, n = self.html, self.n
         if pos >= n:
             return None, pos
@@ -939,6 +937,10 @@ class Tokenizer:
                 newpos += 1
             else:
                 self._err("missing-semicolon-after-character-reference", newpos)
+            if not in_attr:
+                # a decode makes the run's raw extent differ from its
+                # decoded length: begin exact part tracking (anchors)
+                self._ensure_starts()
             value = int(digits, 16 if hex_mode else 10)
             if value == 0:
                 self._err("null-character-reference", newpos)
@@ -963,6 +965,8 @@ class Tokenizer:
                 # by '=' or alphanumeric
                 return "&" + name, end
             self._err("missing-semicolon-after-character-reference", end)
+        if not in_attr:
+            self._ensure_starts()
         return chars, end
 
     # ---- markup declarations ----------------------------------------------
