@@ -610,6 +610,7 @@ class Tokenizer:
                 self._text(m.group(), pos)
                 pos = m.end()
                 dashes = 0
+        self._err("eof-in-script-html-comment-like-text", n)
         return pos
 
     # ---- CDATA ------------------------------------------------------------
@@ -716,7 +717,7 @@ class Tokenizer:
                 for am in _FAST_ATTR.finditer(m.group(2)):
                     aname = am.group(1).lower()
                     if aname in seen:
-                        self._err("duplicate-attribute", base + am.start(1))
+                        self._err("duplicate-attribute", base + am.end(1))
                         continue
                     seen.add(aname)
                     value = am.group(2)
@@ -791,7 +792,7 @@ class Tokenizer:
                 else:
                     value, aend = "", pos
                 if aname in seen:
-                    self._err("duplicate-attribute", astart)
+                    self._err("duplicate-attribute", astart + len(aname))
                 else:
                     seen.add(aname)
                     attrs.append((aname, value, astart, aend))
@@ -825,7 +826,7 @@ class Tokenizer:
             else:
                 value, aend = "", pos
             if aname in seen:
-                self._err("duplicate-attribute", astart)
+                self._err("duplicate-attribute", astart + len(aname))
             else:
                 seen.add(aname)
                 attrs.append((aname, value, astart, aend))
