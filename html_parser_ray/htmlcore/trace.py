@@ -25,6 +25,23 @@ import json
 from .treebuilder import TreeBuilder
 
 
+
+# our internal camelCase mode strings -> parse5 InsertionMode enum names
+# (vendored parser/index.js InsertionMode; insertionModeName reverse map)
+_PARSE5_MODE_NAMES = {
+    "initial": "INITIAL", "beforeHtml": "BEFORE_HTML",
+    "beforeHead": "BEFORE_HEAD", "inHead": "IN_HEAD",
+    "inHeadNoscript": "IN_HEAD_NO_SCRIPT", "afterHead": "AFTER_HEAD",
+    "inBody": "IN_BODY", "inTable": "IN_TABLE",
+    "inTableText": "IN_TABLE_TEXT", "inCaption": "IN_CAPTION",
+    "inColumnGroup": "IN_COLUMN_GROUP", "inTableBody": "IN_TABLE_BODY",
+    "inRow": "IN_ROW", "inCell": "IN_CELL", "inSelect": "IN_SELECT",
+    "inSelectInTable": "IN_SELECT_IN_TABLE", "inTemplate": "IN_TEMPLATE",
+    "afterBody": "AFTER_BODY", "inFrameset": "IN_FRAMESET",
+    "afterFrameset": "AFTER_FRAMESET", "afterAfterBody": "AFTER_AFTER_BODY",
+    "afterAfterFrameset": "AFTER_AFTER_FRAMESET", "text": "TEXT",
+}
+
 class TraceSink:
     def __init__(self, max_events: int | None = None,
                  max_bytes: int | None = None):
@@ -70,6 +87,8 @@ class TracingTreeBuilder(TreeBuilder):
 
     def _dispatch(self, token: tuple) -> None:
         self._token_count += 1
+        if token[0] in (1, 2):  # START, END: parse5 currentToken semantics
+            object.__setattr__(self, "_cur_tag_token_any", token)
         super()._dispatch(token)
 
     def __setattr__(self, name, value):
@@ -78,13 +97,28 @@ class TracingTreeBuilder(TreeBuilder):
             if sink is not None:
                 old = getattr(self, "mode", None)
                 if old is not None and old != value:
-                    token = getattr(self, "_cur_token", None)
-                    token_type = (("chars", "start-tag", "end-tag", "comment",
-                                   "doctype", "eof")[token[0]]
-                                  if token else None)
-                    sink.push("insertionModeTransition", fromMode=old,
-                              toMode=value,
-                              tokenContext={"type": token_type})
+                    # reference transition records (vendored parser
+                    # _instrumentInsertionModeTransitions +
+                    # summarizeTokenContext): parse5 mode NAMES, and the
+                    # token context comes from parser.currentToken — which
+                    # only START/END tags update, so character/comment/
+                    # doctype-driven transitions report the LAST TAG token
+                    # (null before any tag)
+                    token = getattr(self, "_cur_tag_token_any", None)
+                    if token is None:
+                        ctx = {"tokenType": None, "tokenTagName": None,
+                               "tokenStartOffset": None,
+                               "tokenEndOffset": None}
+                    else:
+                        ctx = {"tokenType": ("START_TAG" if token[0] == 1
+                                             else "END_TAG"),
+                               "tokenTagName": token[1],
+                               "tokenStartOffset": token[-2],
+                               "tokenEndOffset": token[-1]}
+                    sink.push("insertionModeTransition",
+                              fromMode=_PARSE5_MODE_NAMES.get(old, old),
+                              toMode=_PARSE5_MODE_NAMES.get(value, value),
+                              tokenContext=ctx)
         object.__setattr__(self, name, value)
 
     def _insert_at(self, place, node) -> None:

