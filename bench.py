@@ -179,7 +179,11 @@ def _consume(result) -> None:
 
 def run_single(sf_dir: str, num_cpus: int, extract_only: bool = False) -> dict:
     import ray
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    # log_to_driver=False: worker stdout/stderr otherwise forwards to THE
+    # DRIVER'S STDOUT (observed: a stray actor log line landed in front of
+    # the one-JSON-line contract output); logs stay in the Ray session dir
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
     try:
         if extract_only:
             # --scaling legs: one run per FRESH subprocess; the scaling
