@@ -455,7 +455,8 @@ def _create_fragment_context(tag: str) -> Element | None:
 
 def parse_fragment(html: str, context_tag_name: str, *,
                    scripting_enabled: bool = True, capture_spans: bool = False,
-                   budgets: Budgets | None = None) -> ParseTree:
+                   budgets: Budgets | None = None,
+                   trace: bool = False) -> ParseTree:
     normalized_context = context_tag_name.strip().lower()
     if not normalized_context:
         raise ValueError("contextTagName must be a non-empty tag name")
@@ -467,8 +468,19 @@ def parse_fragment(html: str, context_tag_name: str, *,
     context = _create_fragment_context(normalized_context)
     if context is None:
         context = Element("template", HTML_NS)
-    builder = TreeBuilder(scripting_enabled=scripting_enabled,
-                          capture_spans=capture_spans)
+    sink = None
+    if trace:
+        # the reference's fragment path wires the same trace channel as
+        # parse (mod.ts:689-712)
+        from .trace import TraceSink, TracingTreeBuilder
+        sink = TraceSink(budgets.max_trace_events if budgets else None,
+                         budgets.max_trace_bytes if budgets else None)
+        builder = TracingTreeBuilder(sink,
+                                     scripting_enabled=scripting_enabled,
+                                     capture_spans=capture_spans)
+    else:
+        builder = TreeBuilder(scripting_enabled=scripting_enabled,
+                              capture_spans=capture_spans)
     frag = builder.parse_fragment(text, context)
     if builder.saw_select:   # patch targets select/option pairs only
         _patch_select_adoption(frag)
@@ -478,5 +490,12 @@ def parse_fragment(html: str, context_tag_name: str, *,
     _enforce("maxNodes", budgets.max_nodes if budgets else None, n_nodes)
     _enforce("maxDepth", budgets.max_depth if budgets else None, max_depth)
     _enforce_time(budgets, time_start)  # mod.ts:820
+    trace_events = None
+    if sink is not None:
+        sink.push("token", count=getattr(builder, "_token_count", 0))
+        for err in errors:
+            sink.push("parseError", parseErrorId=err.parse_error_id)
+        trace_events = sink.events
     return ParseTree("fragment", 1, frag.children, errors, "no-quirks",
-                     n_nodes, max_depth, normalized_context, text)
+                     n_nodes, max_depth, normalized_context, text,
+                     trace=trace_events)

