@@ -18,6 +18,9 @@ Offsets are code-point offsets into the (newline-normalized) input text.
 from __future__ import annotations
 
 import re
+import sys
+
+import numpy as np
 
 from .entities import match_entity, replace_numeric_codepoint
 
@@ -88,13 +91,14 @@ def _is_noncharacter(cp: int) -> bool:
 # upstream is observation-equivalent. PERF: astral chars in a regex
 # class defeat re's fast scan (~25 MB/s vs ~250 MB/s measured), so the
 # class is BMP-only and astral noncharacters (U+xFFFE/U+xFFFF per
-# plane) are probed with `in` — O(1) rejection on non-UCS4 strings
-# because CPython checks the needle against the string's kind first.
+# plane) are found by a single vectorized pass that runs only when the
+# string's storage kind can hold astral code points at all: a CPython
+# UCS-4 str stores >= 4 bytes per char, so sys.getsizeof(text) >=
+# 4*len(text) has no false negatives (UCS-1/2 strings of <= ~38 chars
+# may false-positive into the scan, which is then trivially cheap).
 _INPUT_STREAM_BAD_BMP = re.compile(
     "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f"
     "\ufdd0-\ufdef\ud800-\udfff\ufffe\uffff]")
-_ASTRAL_NONCHARS = [chr(p * 0x10000 + o)
-                    for p in range(1, 17) for o in (0xFFFE, 0xFFFF)]
 
 
 def scan_input_stream_errors(text: str) -> list[tuple[str, int]]:
@@ -108,14 +112,13 @@ def scan_input_stream_errors(text: str) -> list[tuple[str, int]]:
             out.append(("noncharacter-in-input-stream", m.start()))
         else:
             out.append(("control-character-in-input-stream", m.start()))
-    astral = [ch for ch in _ASTRAL_NONCHARS if ch in text]
-    if astral:
-        for ch in astral:
-            i = text.find(ch)
-            while i != -1:
-                out.append(("noncharacter-in-input-stream", i))
-                i = text.find(ch, i + 1)
-        out.sort(key=lambda t: t[1])
+    if text and sys.getsizeof(text) >= 4 * len(text):  # may be UCS-4
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        hits = np.nonzero(((cps & 0xFFFE) == 0xFFFE) & (cps > 0xFFFF))[0]
+        if hits.size:
+            out.extend(("noncharacter-in-input-stream", int(i))
+                       for i in hits)
+            out.sort(key=lambda t: t[1])
     return out
 
 # spec case folding is ASCII-only: <pathß ÅÉ> keeps its non-ASCII chars

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 
+from .tokenizer import END, START
 from .treebuilder import TreeBuilder
 
 
@@ -87,7 +88,7 @@ class TracingTreeBuilder(TreeBuilder):
 
     def _dispatch(self, token: tuple) -> None:
         self._token_count += 1
-        if token[0] in (1, 2):  # START, END: parse5 currentToken semantics
+        if token[0] in (START, END):  # parse5 currentToken semantics
             object.__setattr__(self, "_cur_tag_token_any", token)
         super()._dispatch(token)
 
@@ -104,17 +105,19 @@ class TracingTreeBuilder(TreeBuilder):
                     # only START/END tags update, so character/comment/
                     # doctype-driven transitions report the LAST TAG token
                     # (null before any tag)
+                    # tokenContext key names mirror the reference's public
+                    # event shape exactly (src/public/mod.ts:559-564 nests
+                    # them as type/tagName/startOffset/endOffset)
                     token = getattr(self, "_cur_tag_token_any", None)
                     if token is None:
-                        ctx = {"tokenType": None, "tokenTagName": None,
-                               "tokenStartOffset": None,
-                               "tokenEndOffset": None}
+                        ctx = {"type": None, "tagName": None,
+                               "startOffset": None, "endOffset": None}
                     else:
-                        ctx = {"tokenType": ("START_TAG" if token[0] == 1
-                                             else "END_TAG"),
-                               "tokenTagName": token[1],
-                               "tokenStartOffset": token[-2],
-                               "tokenEndOffset": token[-1]}
+                        ctx = {"type": ("START_TAG" if token[0] == START
+                                        else "END_TAG"),
+                               "tagName": token[1],
+                               "startOffset": token[-2],
+                               "endOffset": token[-1]}
                     sink.push("insertionModeTransition",
                               fromMode=_PARSE5_MODE_NAMES.get(old, old),
                               toMode=_PARSE5_MODE_NAMES.get(value, value),

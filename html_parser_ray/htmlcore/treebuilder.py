@@ -495,6 +495,39 @@ class TreeBuilder:
         return el
 
     @staticmethod
+    def _append_pos(token: tuple, d: int) -> int:
+        """parse5 append-time preprocessor position of decoded char ``d``
+        of a CHARS run (tokenizer getCurrentLocation(0) when the char is
+        appended): raw position for plain chars, LAST raw char of the
+        reference for entity-decoded chars, and one (or two, for "</")
+        past a RAW "<" whose append was deferred until the tag lookahead
+        failed (tokenizer/index.js _stateTagOpen/_stateEndTagOpen default
+        + EOF arms emit '<'/'</' only after consuming the failing char)."""
+        data = token[1]
+        start = token[2]
+        anchors = token[4] if len(token) > 4 else None
+
+        def pos_of(i: int) -> tuple[int, bool]:
+            # (raw position of decoded char i, was it entity-decoded)
+            if anchors is None:
+                return start + i, False
+            j = 0
+            while j + 1 < len(anchors) and anchors[j + 1][0] <= i:
+                j += 1
+            d0, raw_start, raw_last = anchors[j]
+            if raw_last >= 0:
+                return raw_last, True
+            return raw_start + (i - d0), False
+
+        p, ent = pos_of(d)
+        if data[d] == "<" and not ent:
+            if d + 1 < len(data) and data[d + 1] == "/" \
+                    and not pos_of(d + 1)[1]:
+                return p + 2
+            return p + 1
+        return p
+
+    @staticmethod
     def _lf_strip_start(token: tuple, data: str, start: int) -> int:
         """Span start after the skip-next-LF strip (data = rest, non-empty).
 
@@ -503,32 +536,10 @@ class TreeBuilder:
         in _processToken) — so while more whitespace follows, the span still
         starts at the stripped LF. Only when the LF was the ENTIRE ws token
         does the next (character-type) token's own creation position take
-        over: its append-time location — the reference's last raw char for
-        an entity-decoded char, and one (or two, for "</") past a RAW "<"
-        in RCDATA text, whose append is deferred until the tag lookahead
-        fails."""
+        over: its append-time location (_append_pos)."""
         if data[0] in _TYPE_WS:
             return start
-        anchors = token[4] if len(token) > 4 else None
-
-        def pos_of(d: int) -> tuple[int, bool]:
-            # (raw position of decoded char d, was it entity-decoded)
-            if anchors is None:
-                return start + d, False
-            j = 0
-            while j + 1 < len(anchors) and anchors[j + 1][0] <= d:
-                j += 1
-            d0, raw_start, raw_last = anchors[j]
-            if raw_last >= 0:
-                return raw_last, True
-            return raw_start + (d - d0), False
-
-        p, ent = pos_of(1)
-        if data[0] == "<" and not ent:
-            if len(data) > 1 and data[1] == "/" and not pos_of(2)[1]:
-                return p + 2
-            return p + 1
-        return p
+        return TreeBuilder._append_pos(token, 1)
 
     def _set_end_location(self, el: Element) -> None:
         tok = self._cur_tag_token
@@ -795,29 +806,19 @@ class TreeBuilder:
             segs = _SEG_RE.findall(token[1])
             if len(segs) > 1:
                 # parse5 sets each ws/non-ws boundary to the preprocessor
-                # position of the class-switching char at append time: raw
-                # position for plain chars, LAST raw char of the reference
-                # for entity-decoded chars. Runs containing charrefs carry
-                # per-part anchors (tokenizer._flush_text); without them
-                # raw == decoded and arithmetic offsets are exact.
-                anchors = token[4] if len(token) > 4 else None
+                # position of the class-switching char at APPEND time
+                # (_append_pos): raw position for plain chars, LAST raw
+                # char of the reference for entity-decoded chars, one/two
+                # past a deferred raw "<"/"</".
                 seg_start = token[2]
                 last = len(segs) - 1
                 d = 0
-                ai = 0  # forward cursor — boundaries arrive in increasing d
                 for k, seg in enumerate(segs):
                     d += len(seg)
                     if k == last:
                         seg_end = token[3]
-                    elif anchors is None:
-                        seg_end = seg_start + len(seg)
                     else:
-                        while (ai + 1 < len(anchors)
-                               and anchors[ai + 1][0] <= d):
-                            ai += 1
-                        d0, raw_start, raw_last = anchors[ai]
-                        seg_end = (raw_last if raw_last >= 0
-                                   else raw_start + (d - d0))
+                        seg_end = self._append_pos(token, d)
                     self._process((CHARS, seg, seg_start, seg_end))
                     if k != last and self._unkeyed:
                         # parse5 emits the sub-token at the ws/char TYPE
@@ -850,6 +851,8 @@ class TreeBuilder:
                 self.ignore_next_lf = False
                 if data.startswith("\n"):
                     data = data[1:]
+                    if not data:
+                        return
                     start = self._lf_strip_start(token, data, start)
             self._insert_text(data, start, token[3])
             if not _is_type_ws(data):
@@ -916,13 +919,19 @@ class TreeBuilder:
                     self._process(token)
                     return
                 if node.name.lower() == name:
-                    if node.name != name and self.capture_spans:
-                        # parse5 rewrites the token tag name to the
-                        # element's adjusted (camelCase) name so
-                        # _setEndLocation records the end-tag END offset
-                        # (endTagInForeignContent, parser/index.js:3302-3305)
-                        self._cur_token = (token[0], node.name) + token[2:]
-                        self._cur_tag_token = self._cur_token
+                    if node.name != name:
+                        # parse5 rewrites token.tagName unconditionally to
+                        # the element's adjusted (camelCase) name
+                        # (endTagInForeignContent, parser/index.js:3302-3305);
+                        # spans' _setEndLocation and the trace channel's
+                        # currentToken both observe the rewrite
+                        renamed = (token[0], node.name) + token[2:]
+                        self._cur_token = renamed
+                        if self.capture_spans:
+                            self._cur_tag_token = renamed
+                        if getattr(self, "_cur_tag_token_any", None) \
+                                is not None:
+                            self._cur_tag_token_any = renamed
                     while len(self.stack) > i:
                         self._pop()
                     return

@@ -24,7 +24,9 @@ def test_trace_schema_and_monotonic_seq():
         elif event["kind"] == "insertionModeTransition":
             assert isinstance(event["fromMode"], str)
             assert isinstance(event["toMode"], str)
-            assert "tokenType" in event["tokenContext"]
+            # exact reference event shape (src/public/mod.ts:559-564)
+            assert set(event["tokenContext"]) == {
+                "type", "tagName", "startOffset", "endOffset"}
         elif event["kind"] == "tree-mutation":
             assert event["nodeCount"] >= 1
             assert event["errorCount"] >= 0
@@ -74,8 +76,8 @@ def test_mode_transitions_match_reference_instrumentation():
     (character/comment/doctype transitions inherit it; null before any
     tag)."""
     tree = parse("<!doctype html><table><tr><td>x", trace=True)
-    trans = [(e["fromMode"], e["toMode"], e["tokenContext"]["tokenType"],
-              e["tokenContext"]["tokenTagName"])
+    trans = [(e["fromMode"], e["toMode"], e["tokenContext"]["type"],
+              e["tokenContext"]["tagName"])
              for e in tree.trace if e["kind"] == "insertionModeTransition"]
     assert trans == [
         ("INITIAL", "BEFORE_HTML", None, None),
