@@ -113,6 +113,45 @@ def _timed(fn) -> float:
 # same-session runs, with min/max disclosed in the output.
 BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
 
+# Idle-box single-thread calibration rate (docs/s over the 60-doc synth
+# sample below), pinned from a measured idle window — BASELINE.md
+# "Calibration". A bench window whose pre/post calibration falls well
+# under this (ratio < ~0.8) ran on a degraded host and its absolute
+# times overstate; within-window relative prices remain meaningful.
+CALIB_REF_DOCS_PER_SEC = float(
+    os.environ.get("GRAFT_CALIB_REF", "130.0"))
+
+
+def _calibration(n_docs: int = 60) -> dict:
+    """Single-thread extract-kernel rate + loadavg, embedded before and
+    after every sweep so a host-degraded window is machine-detectable
+    (the r4 driver window silently recorded a 25%-degraded host; this
+    field makes that visible in the artifact itself)."""
+    from html_parser_ray.sources.synth import make_table
+    from html_parser_ray.htmlcore.api import parse_bytes
+    from html_parser_ray.htmlcore.extract import visible_text
+    tbl = make_table(n_docs, seed=42, size_scale=32)
+    htmls = tbl.column("html").to_pylist()
+    n_bytes = sum(len(h) for h in htmls)
+    t0 = time.perf_counter()
+    for h in htmls:
+        visible_text(parse_bytes(h))
+    dt = time.perf_counter() - t0
+    load = os.getloadavg()
+    return {"docs_per_sec": round(len(htmls) / dt, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / dt, 3),
+            "loadavg_1m": round(load[0], 2),
+            "loadavg_5m": round(load[1], 2)}
+
+
+def _window_health(pre: dict, post: dict) -> dict:
+    ratio = min(pre["docs_per_sec"], post["docs_per_sec"]) \
+        / CALIB_REF_DOCS_PER_SEC
+    return {"pre": pre, "post": post,
+            "ref_docs_per_sec": CALIB_REF_DOCS_PER_SEC,
+            "min_ratio_vs_ref": round(ratio, 3),
+            "host_degraded": ratio < 0.8}
+
 
 def _median_timed(fn, reps: int = BENCH_REPS) -> dict:
     times = sorted(_timed(fn) for _ in range(reps))
@@ -258,6 +297,7 @@ def main() -> None:
         # isolates the PIPELINE's scaling from that single-box artifact;
         # the uncontrolled pairing is still reported for disclosure.
         controlled = os.environ.get("GRAFT_SCALING_CONTROLLED") == "1"
+        calib_pre = _calibration()
         legs = tuple(int(x) for x in os.environ.get(
             "GRAFT_SCALING_CPUS", "4,16").split(","))
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
@@ -306,10 +346,13 @@ def main() -> None:
             "throughput_docs_per_sec": {
                 str(c): {k: round(v, 2) for k, v in runs[c].items()}
                 for c in legs},
+            "calibration": _window_health(calib_pre, _calibration()),
         }))
         return
 
+    calib_pre = _calibration()
     out = run_single(SF_DIR, NUM_CPUS)
+    calib_post = _calibration()
     ext = out["extract"]
     queries = {"extract": round(ext["sec"], 3)}
     queries.update({k: round(v["median"], 3)
@@ -329,6 +372,7 @@ def main() -> None:
         "extract_docs": ext["docs"],
         "extract_mb_per_sec": round(ext["mb_per_sec"], 3),
         "ok_docs": ext["ok_docs"],
+        "calibration": _window_health(calib_pre, calib_post),
     }))
 
 

@@ -215,20 +215,21 @@ def _assign_id_maps(children: list) -> tuple[dict[int, int], dict[int, object]]:
 
 
 def _compute_metrics(children: list) -> tuple[int, int]:
-    # metrics (reference: collectMetrics mod.ts:441-473) — iterative:
-    # this walk runs on EVERY parse, and an explicit stack beats one
-    # Python frame per node (count/max are order-insensitive)
+    # metrics (reference: collectMetrics mod.ts:441-473) — iterative,
+    # batched per PARENT: this walk runs on EVERY parse, and pushing one
+    # (children, depth) pair per parent beats one tuple per node
+    # (count/max are order-insensitive)
     total, max_depth = 1, 1                      # the document node
-    stack = [(c, 2) for c in children]
+    stack = [(children, 2)] if children else []
     while stack:
-        node, depth = stack.pop()
-        total += 1
+        kids, depth = stack.pop()
+        total += len(kids)
         if depth > max_depth:
             max_depth = depth
-        if isinstance(node, Element) and node.children:
-            child_depth = depth + 1
-            for child in node.children:
-                stack.append((child, child_depth))
+        child_depth = depth + 1
+        for node in kids:
+            if isinstance(node, Element) and node.children:
+                stack.append((node.children, child_depth))
     return total, max_depth
 
 

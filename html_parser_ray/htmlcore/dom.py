@@ -15,6 +15,9 @@ MATHML_NS = "math"
 
 class Document:
     __slots__ = ("children", "quirks_mode")
+    # class-level None: lets insertion hot paths read parent.template_content
+    # directly instead of a 3-arg getattr (only Elements carry the slot)
+    template_content = None
 
     def __init__(self) -> None:
         self.children: list = []
@@ -23,6 +26,7 @@ class Document:
 
 class DocumentFragment:
     __slots__ = ("children",)
+    template_content = None
 
     def __init__(self) -> None:
         self.children: list = []

@@ -67,12 +67,19 @@ def _normalize_segment(value: str, preserve: bool) -> str:
 
 
 def normalize_visible_text_output(value: str, trim: bool = True) -> str:
+    # each sub is a full-document regex pass + reallocation; a cheap
+    # C-level substring precheck skips the passes that cannot match
     out = _normalize_newlines(value)
-    out = _SP_BEFORE_NL.sub("\n", out)
-    out = _SP_AFTER_NL.sub("\n", out)
-    out = _NL3.sub("\n\n", out)
-    out = _SP2.sub(" ", out)
-    out = _TAB2.sub("\t", out)
+    if " \n" in out or "\t\n" in out or "\f\n" in out:
+        out = _SP_BEFORE_NL.sub("\n", out)
+    if "\n " in out or "\n\t" in out or "\n\f" in out:
+        out = _SP_AFTER_NL.sub("\n", out)
+    if "\n\n\n" in out:
+        out = _NL3.sub("\n\n", out)
+    if "  " in out:
+        out = _SP2.sub(" ", out)
+    if "\t\t" in out:
+        out = _TAB2.sub("\t", out)
     if trim:
         out = out.strip()
     return out

@@ -171,34 +171,30 @@ def _strip_html_comments(text: str) -> str:
     return "".join(out)
 
 
-def _extract_meta_tags(scan: str) -> list[str]:
-    tags: list[str] = []
+# one tag: "<", then body chars with quoted sections opaque, then the
+# first ">" outside quotes — the regex equivalent of the spec's
+# quote-tracking scan (an unterminated quote never reaches ">", so the
+# match fails exactly where the manual scan would run off the prescan)
+_TAG_SPAN = re.compile(r"""<[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>""")
+
+
+def _extract_meta_tags(scan: str):
+    """Yield meta tags lazily — the caller stops at the first tag that
+    produces a valid charset, so the common <meta charset> in the first
+    few tags never pays for walking the rest of the 16 KB prescan."""
     index = 0
-    n = len(scan)
-    while index < n:
-        tag_start = scan.find("<", index)
-        if tag_start == -1 or tag_start + 2 > n:
+    find = scan.find
+    while True:
+        tag_start = find("<", index)
+        if tag_start == -1:
             break
-        cursor = tag_start + 1
-        quote: str | None = None
-        closed = False
-        while cursor < n:
-            ch = scan[cursor]
-            if quote is None and ch in "\"'":
-                quote = ch
-            elif quote is not None and ch == quote:
-                quote = None
-            elif quote is None and ch == ">":
-                tag_text = scan[tag_start:cursor + 1]
-                if _META_TAG_START.match(tag_text):
-                    tags.append(tag_text)
-                index = cursor + 1
-                closed = True
-                break
-            cursor += 1
-        if not closed:
+        m = _TAG_SPAN.match(scan, tag_start)
+        if m is None:       # no ">" outside quotes before end-of-prescan
             break
-    return tags
+        tag_text = m.group()
+        if _META_TAG_START.match(tag_text):
+            yield tag_text
+        index = m.end()
 
 
 def _parse_meta_attributes(tag: str) -> dict[str, str]:

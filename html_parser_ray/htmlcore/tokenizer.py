@@ -276,7 +276,8 @@ class Tokenizer:
             self._queue.append(token)
 
     def _emit(self, token: tuple) -> None:
-        self._flush_text(token[-2] if len(token) > 2 else self.pos)
+        if self._text_parts:
+            self._flush_text(token[-2] if len(token) > 2 else self.pos)
         self._queue.append(token)
 
     # ---- public pull API --------------------------------------------------
@@ -354,8 +355,16 @@ class Tokenizer:
         while pos < n:
             m = _DATA_RUN.match(s, pos)
             if m:
-                self._text(m.group(), pos)
-                pos = m.end()
+                # inline _text for the always-non-empty run (hot path)
+                parts = self._text_parts
+                if not parts:
+                    self._text_start = pos
+                parts.append(m.group())
+                end = m.end()
+                if self._track_starts:
+                    self._text_starts.append(pos)
+                    self._text_ends.append(end)
+                pos = end
                 if pos >= n:
                     break
             c = s[pos]
@@ -366,7 +375,8 @@ class Tokenizer:
                 if m:
                     name = m.group(1).lower()
                     end = m.end()
-                    self._flush_text(pos)
+                    if self._text_parts:
+                        self._flush_text(pos)
                     self._queue.append((START, name, [], False, pos, end))
                     self.last_start_tag = name
                     pos = end
@@ -379,7 +389,8 @@ class Tokenizer:
                     if m:
                         name = m.group(1).lower()
                         end = m.end()
-                        self._flush_text(pos)
+                        if self._text_parts:
+                            self._flush_text(pos)
                         self._queue.append((END, name, pos, end))
                         pos = end
                         if len(self._queue) >= target:

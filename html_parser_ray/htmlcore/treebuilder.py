@@ -144,6 +144,7 @@ class TreeBuilder:
         self._ack_sc = True  # self-closing acknowledged (parse5 ackSelfClosing)
         self._end_tagged: set[int] = set()  # id(el) with explicit end tags
         self.saw_select = False  # lets api skip the select/option patch walk
+        self.saw_foreign = False  # sticky; set by _create_element on svg/math
 
     # ---------------------------------------------------------------- parsing
 
@@ -207,9 +208,12 @@ class TreeBuilder:
                 tk.allow_cdata = False
             # while ANY foreign element is open (not just the top), a popped
             # end tag can re-enter raw foreign context and re-enable CDATA —
-            # tokenizer run-ahead must then be one token at a time
+            # tokenizer run-ahead must then be one token at a time. The
+            # sticky saw_foreign flag skips the per-round stack scan for
+            # HTML-only documents (the overwhelmingly common case).
             tk.single_step = (frag_foreign
-                              or any(el.ns != HTML_NS for el in stack))
+                              or (self.saw_foreign
+                                  and any(el.ns != HTML_NS for el in stack)))
             done = False
             capture = self.capture_spans
             for token in tk.drain():
@@ -342,9 +346,10 @@ class TreeBuilder:
         return el.children
 
     def _append(self, parent, node) -> None:
-        # hot path: getattr default covers Document/DocumentFragment (no
-        # template_content slot) and non-template Elements (None) alike
-        tc = getattr(parent, "template_content", None)
+        # hot path: Document/DocumentFragment expose a class-level
+        # template_content = None, so a plain attribute read covers all
+        # parent kinds (only template Elements return a list)
+        tc = parent.template_content
         (parent.children if tc is None else tc).append(node)
         node.parent = parent
 
@@ -361,7 +366,11 @@ class TreeBuilder:
 
     def _appropriate_place(self, override: Element | None = None):
         """Returns (parent, index|None-for-append)."""
-        target = override or self.current
+        if override is not None:
+            target = override
+        else:
+            stack = self.stack
+            target = stack[-1] if stack else self.current
         if self.foster_parenting and target.ns == HTML_NS and target.name in TABLE_CONTEXT:
             last_template = None
             last_table = None
@@ -391,7 +400,7 @@ class TreeBuilder:
         if index is None:
             self._append(parent, node)
         else:
-            tc = getattr(parent, "template_content", None)
+            tc = parent.template_content
             kids = parent.children if tc is None else tc
             kids.insert(index, node)
             node.parent = parent
@@ -399,9 +408,13 @@ class TreeBuilder:
     def _insert_text(self, data: str, start: int = -1, end: int = -1) -> None:
         if not data:
             return
-        place = self._appropriate_place()
+        if self.foster_parenting:
+            place = self._appropriate_place()
+        else:           # inline fast path: append to the current node
+            stack = self.stack
+            place = (stack[-1] if stack else self.current, None)
         parent, index = place
-        tc = getattr(parent, "template_content", None)
+        tc = parent.template_content
         kids = parent.children if tc is None else tc
         prev = None
         if index is None:
@@ -473,12 +486,22 @@ class TreeBuilder:
                      spans)
         if name == "select":
             self.saw_select = True
+        if ns is not HTML_NS:
+            # sticky: every foreign element on the stack originates here
+            # (AAA clones copy ns from elements created here), so an
+            # HTML-only document keeps the _run single-step scan disabled
+            self.saw_foreign = True
         return el
 
     def _insert_element(self, token: tuple, ns: str = HTML_NS,
                         adjust: str | None = None) -> Element:
         el = self._create_element(token, ns, adjust)
-        self._insert_at(self._appropriate_place(), el)
+        if self.foster_parenting:
+            place = self._appropriate_place()
+        else:           # inline fast path: append to the current node
+            stack = self.stack
+            place = (stack[-1] if stack else self.current, None)
+        self._insert_at(place, el)
         self.stack.append(el)
         return el
 
@@ -590,9 +613,10 @@ class TreeBuilder:
         html_t, math_t, svg_t = scope
         for el in reversed(self.stack):
             if el.ns == HTML_NS:
-                if el.name == name:
+                n_ = el.name
+                if n_ == name:
                     return True
-                if el.name in html_t:
+                if n_ in html_t:
                     return False
             elif el.ns == MATHML_NS:
                 if el.name in math_t:
