@@ -259,7 +259,7 @@ class _PagerankShardImpl:
 
 
 def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
-             broadcast_limit: int = 20_000_000, num_partitions: int = 8):
+             broadcast_limit: int = 10_000_000, num_partitions: int = 8):
     """Dataset[src_host, dst_host, weight] → Dataset[host, rank] after
     ``iters`` integer-exact power iterations (see module docstring for
     the update rule). Deterministic: same edges → bit-identical ranks.
@@ -276,17 +276,25 @@ def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
     # groupby(host).Sum gives (host, out_w) with dangling hosts at 0 —
     # previously two separate groupby jobs whose fixed cost dominated
     # small graphs (r3: ~2 s of the 4 s pagerank tail at sf0.1).
+    _empty_nodes = pa.table({"host": pa.array([], pa.string()),
+                             "out_w": pa.array([], pa.int64())})
+
     def node_partials(batch: pa.Table) -> pa.Table:
-        src = batch.column("src_host").to_pylist()
-        dst = batch.column("dst_host").to_pylist()
-        w = batch.column("weight").to_numpy(zero_copy_only=False)
-        acc: dict[str, int] = {}
-        for h, wt in zip(src, w):
-            acc[h] = acc.get(h, 0) + int(wt)
-        for h in dst:
-            acc.setdefault(h, 0)
-        return pa.table({"host": pa.array(list(acc), pa.string()),
-                         "out_w": pa.array(list(acc.values()), pa.int64())})
+        # vectorized: stack (src, weight) over (dst, 0) and run one Arrow
+        # hash-groupby per batch — the host_rollup idiom, no per-row loop
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:   # empty groupby drops the schema
+            return _empty_nodes
+        src_t = pa.table({"host": batch.column("src_host"),
+                          "out_w": pc.cast(batch.column("weight"),
+                                           pa.int64())})
+        dst_t = pa.table({"host": batch.column("dst_host"),
+                          "out_w": pa.array(
+                              np.zeros(batch.num_rows, dtype=np.int64))})
+        agg = pa.TableGroupBy(pa.concat_tables([src_t, dst_t]),
+                              "host").aggregate([("out_w", "sum")])
+        return pa.table({"host": agg.column("host"),
+                         "out_w": agg.column("out_w_sum")})
 
     node_ds = edges.map_batches(node_partials, batch_format="pyarrow") \
         .groupby("host").aggregate(Sum("out_w", alias_name="out_w")) \
@@ -313,12 +321,21 @@ def pagerank(edges_ds, iters: int = 5, scale: int = SCALE,
     # driver-side groupby per iteration (the r3 verdict's K-driver-syncs
     # cost: 8.7–10 s at sf0.1 came almost entirely from K pipeline
     # launches, not the arithmetic).
-    node_rows = node_ds.take_all()
-    order = sorted(range(len(node_rows)),
-                   key=lambda i: node_rows[i]["host"])
-    hosts = np.array([node_rows[i]["host"] for i in order], dtype=object)
-    out_w = np.array([node_rows[i]["out_w"] for i in order],
-                     dtype=np.int64)
+    # stream the node table to the driver as Arrow blocks (ranks must
+    # live driver-side on this path) and sort once in Arrow — no per-row
+    # Python dicts. Driver RSS is dominated by the host-string objects:
+    # ~100 B/host, so broadcast_limit=10M keeps the table around 1 GB;
+    # larger graphs take the fully distributed fallback.
+    import pyarrow.compute as pc
+    node_tbl = pa.concat_tables(
+        [t for t in ray.get(node_ds.to_arrow_refs()) if t.num_rows])
+    order = pc.sort_indices(node_tbl,
+                            sort_keys=[("host", "ascending")])
+    node_tbl = node_tbl.take(order)
+    hosts = np.array(node_tbl.column("host").to_pylist(), dtype=object)
+    out_w = node_tbl.column("out_w").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    del node_tbl
     ranks = np.full(len(hosts), init, dtype=np.int64)
 
     hosts_ref = ray.put(hosts)
