@@ -43,7 +43,30 @@ except ImportError:
 # ---------------------------------------------------------------------------
 # deterministic synthetic media (no external data; seeded by id)
 
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal deterministic PNG encoder (filter 0, 8-bit RGB) — the
+    write half of the PNG bridge, used to synthesize real-format test
+    payloads for decode_png."""
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def make_image_payload(media_id: int) -> bytes:
+    """Deterministic image payload; the format rotates by id so every
+    third image exercises a REAL codec end to end (FAKEIMG1 container /
+    baseline JPEG via jpegcore / PNG via the bridge pair), same dims
+    formula for all three so dimension oracles hold."""
     width = 16 + (media_id * 7) % 48
     height = 16 + (media_id * 13) % 48
     channels = 3
@@ -52,6 +75,16 @@ def make_image_payload(media_id: int) -> bytes:
                            digest_size=8).digest()
     reps = n // 8 + 1
     pixels = (seed * reps)[:n]
+    form = media_id % 3
+    if form == 1:
+        from .jpegcore import encode_jpeg_baseline
+        arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+        return encode_jpeg_baseline(
+            arr, quality=90,
+            subsampling="4:2:0" if media_id % 2 == 0 else "4:4:4")
+    if form == 2:
+        arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+        return encode_png(arr)
     return b"FAKEIMG1" + struct.pack("<HHB", width, height, channels) + pixels
 
 
@@ -95,8 +128,9 @@ def media_table(n_rows: int, start: int = 0) -> pa.Table:
 
 # ---------------------------------------------------------------------------
 # decode kernels (codec boundary — the only partially-stubbed part:
-# PNG decodes for real via the from-scratch decoder below; JPEG/WebP/…
-# would use PIL when present and raise otherwise)
+# PNG decodes for real via the from-scratch decoder below and baseline
+# JPEG via stages/jpegcore.py; WebP/GIF/… would use PIL when present
+# and raise otherwise)
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -203,14 +237,18 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return width, height, channels, pixels.reshape(height, width, channels)
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)               # real decode, no deps
+    if payload.startswith(b"\xff\xd8"):          # real decode, no deps
+        from .jpegcore import decode_jpeg
+        return decode_jpeg(payload)
     if _HAVE_PIL:  # pragma: no cover — no PIL in this container
         import io
         img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
         arr = np.asarray(img)
         return img.width, img.height, 3, arr
     raise NotImplementedError(
-        "no codec for this image format in this container (PNG decodes "
-        "via the built-in bridge decoder; JPEG/WebP need PIL)")
+        "no codec for this image format in this container (PNG and "
+        "baseline JPEG decode via the built-in from-scratch decoders; "
+        "WebP/GIF/... need PIL)")
 
 
 def _decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
