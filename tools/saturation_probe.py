@@ -1,0 +1,166 @@
+"""8→32 saturation decomposition probe (round-5 verdict item).
+
+The full-box scaling pairing (8 → 32 cpus) has measured 0.54–0.68 raw
+efficiency across rounds while 4 → 16 meets the ≥0.8 north bar. Two
+hypotheses have been offered: (a) single-node control-plane sharing —
+ONE raylet + ONE plasma store + the driver consumer contend with 32
+workers; (b) per-core silicon capacity drop under full occupancy
+(virtualized frequency / memory-bandwidth sharing).
+
+This probe separates them with a controlled comparison at EQUAL silicon
+occupancy (all 32 cores busy in both legs):
+
+  leg A: one Ray instance, num_cpus=32          — one raylet/plasma
+  leg B: two CONCURRENT independent Ray instances, num_cpus=16 each,
+         each running the full flagship corpus  — two raylets/plasmas
+
+If combined-B > A, the single control plane is the binding constraint
+(and it MULTIPLIES OUT on a real 4N-node cluster, where every node has
+its own raylet, plasma store, and memory bus). If combined-B ≈ A, the
+ceiling is the shared silicon, which multi-node clusters also do not
+share. Either way the 8→32 number is a single-box artifact; this probe
+records WHICH.
+
+Secondary probes (one flag each): object-store size sweep and actor
+batch_size sweep at 32 cpus, to rule object-store pressure in or out.
+
+Usage:
+  python tools/saturation_probe.py            # A/B decomposition, reps=3
+  python tools/saturation_probe.py --worker CPUS STORE_MB BATCH  # internal
+  python tools/saturation_probe.py --sweeps   # store + batch sweeps
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS_N = 16_000
+REPS = int(os.environ.get("GRAFT_PROBE_REPS", "3"))
+
+
+def _worker(num_cpus: int, store_mb: int, batch_size: int) -> None:
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from html_parser_ray.stages.extract import extract_pages
+
+    corpus = os.path.join("/tmp/graft_bench",
+                          f"pages_n{CORPUS_N}_scale32_seed42")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False,
+             object_store_memory=store_mb * 1024 * 1024)
+    try:
+        pages = ray.data.read_parquet(
+            corpus, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=max(64, num_cpus * 4))
+        t0 = time.perf_counter()
+        out = extract_pages(pages, batch_size=batch_size).map_batches(
+            lambda b: pa.table({
+                "ok": [int(pc.sum(pc.cast(
+                    pc.equal(b.column("status"), "ok"),
+                    pa.int64())).as_py() or 0)]}),
+            batch_format="pyarrow").sum(["ok"])
+        dt = time.perf_counter() - t0
+        print("PROBE_RESULT " + json.dumps(
+            {"docs_per_sec": CORPUS_N / dt, "sec": dt,
+             "ok": out["sum(ok)"]}))
+    finally:
+        ray.shutdown()
+
+
+def _spawn(num_cpus: int, store_mb: int, batch_size: int):
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         str(num_cpus), str(store_mb), str(batch_size)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=REPO, env={**os.environ, "RAY_GRAFT_CPUS": str(num_cpus)})
+
+
+def _collect(proc) -> dict:
+    out, _ = proc.communicate()
+    for line in out.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return json.loads(line[len("PROBE_RESULT "):])
+    raise RuntimeError(f"worker failed: {out[-500:]}")
+
+
+def _ensure_corpus() -> None:
+    import ray
+    marker = os.path.join("/tmp/graft_bench",
+                          f"pages_n{CORPUS_N}_scale32_seed42", "_DONE")
+    if os.path.exists(marker):
+        return
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             log_to_driver=False)
+    from html_parser_ray.sources.synth import pages_dataset
+    pages_dataset(CORPUS_N, seed=42, parallelism=64,
+                  size_scale=32).write_parquet(os.path.dirname(marker))
+    with open(marker, "w") as f:
+        f.write("ok")
+    ray.shutdown()
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        _worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                int(sys.argv[i + 3]))
+        return
+
+    _ensure_corpus()
+    result: dict = {"corpus_pages": CORPUS_N, "reps": REPS}
+
+    if "--sweeps" in sys.argv:
+        # object-store size at 32 cpus (is plasma CAPACITY binding?)
+        store_sweep = {}
+        for mb in (2048, 8192, 24576):
+            rates = [_collect(_spawn(32, mb, 16))["docs_per_sec"]
+                     for _ in range(REPS)]
+            store_sweep[str(mb)] = round(_median(rates), 1)
+        result["store_mb_sweep_32cpu"] = store_sweep
+        # actor batch_size at 32 cpus (is dispatch granularity binding?)
+        batch_sweep = {}
+        for bs in (8, 16, 32):
+            rates = [_collect(_spawn(32, 8192, bs))["docs_per_sec"]
+                     for _ in range(REPS)]
+            batch_sweep[str(bs)] = round(_median(rates), 1)
+        result["batch_size_sweep_32cpu"] = batch_sweep
+        print(json.dumps(result))
+        return
+
+    # A/B decomposition at equal 32-core occupancy
+    single, dual = [], []
+    for _ in range(REPS):
+        single.append(_collect(_spawn(32, 8192, 16))["docs_per_sec"])
+    for _ in range(REPS):
+        procs = [_spawn(16, 8192, 16), _spawn(16, 8192, 16)]
+        legs = [_collect(p) for p in procs]
+        # combined rate over the window both halves were running
+        dual.append(2 * CORPUS_N / max(leg["sec"] for leg in legs))
+    result.update({
+        "single_32cpu_docs_per_sec": {
+            "median": round(_median(single), 1),
+            "all": [round(v, 1) for v in sorted(single)]},
+        "dual_16cpu_combined_docs_per_sec": {
+            "median": round(_median(dual), 1),
+            "all": [round(v, 1) for v in sorted(dual)]},
+        "dual_over_single": round(_median(dual) / _median(single), 4),
+    })
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
