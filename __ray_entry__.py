@@ -1497,8 +1497,11 @@ def q_image_features(sf_dir: str):
     media_id so the decode path is value-checked end to end."""
     from html_parser_ray.stages.multimodal import ImageFeatureStage
     media = _media_from_documents(sf_dir, "image")
+    # (2, 8) autoscaling pool: 2/3 of payloads now decode through the real
+    # JPEG/PNG kernels (~2.5 ms/row), so a fixed pool of 2 bottlenecks at
+    # sf0.1 while 8 fixed actors would starve reads on the 8-cpu driver
     out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2)
+                            batch_size=32, concurrency=(2, 8))
     return out.map_batches(
         lambda b: b.select(["media_id", "width", "height", "channels"]),
         batch_format="pyarrow")
