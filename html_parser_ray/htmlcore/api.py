@@ -303,6 +303,20 @@ _POST_CONSUMPTION_ERRS = frozenset([
     "unexpected-solidus-in-tag",
     "unexpected-character-in-attribute-name",
     "unexpected-character-in-unquoted-attribute-value",
+    # doctype-state errors report AT the already-consumed char, so the
+    # preprocessor's input-stream error for that char precedes them
+    # (r5 sweep: <!doctype\x7f...>); unexpected-null-character likewise
+    # fires post-consumption and must keep its chronological slot after
+    # missing-whitespace-before-doctype-name at the same offset — NUL is
+    # never itself an input-stream error, so rank 2 cannot flip it
+    # against one
+    "missing-whitespace-before-doctype-name",
+    "invalid-character-sequence-after-doctype-name",
+    "missing-whitespace-after-doctype-public-keyword",
+    "missing-whitespace-after-doctype-system-keyword",
+    "missing-quote-before-doctype-public-identifier",
+    "missing-quote-before-doctype-system-identifier",
+    "unexpected-null-character",
 ])
 
 

@@ -167,7 +167,8 @@ class Tokenizer:
     __slots__ = (
         "html", "n", "pos", "state", "last_start_tag", "allow_cdata",
         "single_step", "_queue", "_qidx", "_text_parts", "_text_start",
-        "_text_starts", "_text_ends", "errors", "emission_errors",
+        "_text_starts", "_text_ends", "_text_anchor", "errors",
+        "emission_errors",
         "capture_offsets",
         "_track_starts",
         "_initial_state_override", "_cdata_start",
@@ -191,6 +192,11 @@ class Tokenizer:
         self._text_starts: list[int] = []
         self._text_ends: list[int] = []
         self._text_start = 0
+        # parse5 character-token location semantics: a construct that
+        # is DROPPED without emitting (</> missing-end-tag-name) leaves
+        # its start position as the anchor for the NEXT character token
+        # (and text node) — cleared by any real token emission
+        self._text_anchor: int | None = None
         self.errors: list[tuple[str, int]] = []  # (code, offset)
         # end-tag-with-attributes / -trailing-solidus fire at token
         # EMISSION in parse5 (_emitCurrentTagToken), i.e. chronologically
@@ -217,7 +223,12 @@ class Tokenizer:
         is wider than the value (charrefs, CDATA) — default: start+len."""
         if value:
             if not self._text_parts:
-                self._text_start = start
+                anchor = self._text_anchor
+                if anchor is not None:
+                    self._text_anchor = None
+                    self._text_start = anchor
+                else:
+                    self._text_start = start
             self._text_parts.append(value)
             if self._track_starts:
                 self._text_starts.append(start)
@@ -278,6 +289,7 @@ class Tokenizer:
     def _emit(self, token: tuple) -> None:
         if self._text_parts:
             self._flush_text(token[-2] if len(token) > 2 else self.pos)
+        self._text_anchor = None
         self._queue.append(token)
 
     # ---- public pull API --------------------------------------------------
@@ -358,7 +370,12 @@ class Tokenizer:
                 # inline _text for the always-non-empty run (hot path)
                 parts = self._text_parts
                 if not parts:
-                    self._text_start = pos
+                    anchor = self._text_anchor
+                    if anchor is not None:
+                        self._text_anchor = None
+                        self._text_start = anchor
+                    else:
+                        self._text_start = pos
                 parts.append(m.group())
                 end = m.end()
                 if self._track_starts:
@@ -377,6 +394,7 @@ class Tokenizer:
                     end = m.end()
                     if self._text_parts:
                         self._flush_text(pos)
+                    self._text_anchor = None
                     self._queue.append((START, name, [], False, pos, end))
                     self.last_start_tag = name
                     pos = end
@@ -391,6 +409,7 @@ class Tokenizer:
                         end = m.end()
                         if self._text_parts:
                             self._flush_text(pos)
+                        self._text_anchor = None
                         self._queue.append((END, name, pos, end))
                         pos = end
                         if len(self._queue) >= target:
@@ -682,6 +701,12 @@ class Tokenizer:
                 return True
             if c2 == ">":
                 self._err("missing-end-tag-name", pos)
+                # the dropped "</>" anchors the next character token at its
+                # '<' (and widens a pending run's raw extents): begin exact
+                # part tracking and leave the anchor for _text
+                self._ensure_starts()
+                if not self._text_parts and self._text_anchor is None:
+                    self._text_anchor = lt_pos
                 self.pos = pos + 1
                 return False
             self._err("invalid-first-character-of-tag-name", pos)
@@ -750,10 +775,13 @@ class Tokenizer:
                 return
         m = _TAG_NAME_RUN.match(s, pos)
         name = m.group() if m else ""
-        pos = m.end() if m else pos
-        if "\x00" in name:
-            self._err("unexpected-null-character", pos)
+        if "\x00" in name:                 # parse5: one error per NUL, at it
+            i = name.find("\x00")
+            while i != -1:
+                self._err("unexpected-null-character", pos + i)
+                i = name.find("\x00", i + 1)
             name = name.replace("\x00", "�")
+        pos = m.end() if m else pos
         name = _ascii_lower(name)
 
         attrs: list[tuple[str, str, int, int]] = []
@@ -944,7 +972,10 @@ class Tokenizer:
             else:
                 m = _DIGITS.match(s, pos)
             if not m:
-                self._err("absence-of-digits-in-numeric-character-reference", pos)
+                # parse5 reports at the first non-digit char: in hex mode
+                # the 'x' has already been consumed, so that's pos + 1
+                self._err("absence-of-digits-in-numeric-character-reference",
+                          pos + 1 if hex_mode else pos)
                 return None, pos - 1  # re-scan '#...' as text after the '&'
             digits = m.group()
             newpos = m.end()
@@ -1159,8 +1190,17 @@ class Tokenizer:
             emit(pos + 1)
             return
         m = _DOCTYPE_NAME_RUN.match(s, pos)
-        name = m.group().lower().replace("\x00", "�") if m else ""
-        pos = m.end() if m else pos
+        if m:
+            raw = m.group()
+            if "\x00" in raw:           # parse5: one error per NUL consumed
+                i = raw.find("\x00")
+                while i != -1:
+                    self._err("unexpected-null-character", pos + i)
+                    i = raw.find("\x00", i + 1)
+            name = raw.lower().replace("\x00", "�")
+            pos = m.end()
+        else:
+            name = ""
 
         # after doctype name
         while True:

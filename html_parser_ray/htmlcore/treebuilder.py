@@ -1702,7 +1702,10 @@ class TreeBuilder:
 
     def _ibe_br(self, token: tuple) -> None:
         self._err("unexpected-end-tag-treated-as")
-        self._in_body_start((START, "br", [], False, token[-2], token[-1]))
+        # parse5 synthesizes the br start token WITHOUT a location (the
+        # resulting element has null sourceCodeLocation, like the
+        # </p>-synthesized p) — r5 span sweep
+        self._in_body_start((START, "br", [], False, -1, -1))
 
     # --------------------------------------------------- adoption agency
 
