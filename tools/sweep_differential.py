@@ -196,13 +196,49 @@ def sweep_errors(n: int, seed: int) -> int:
     return bad
 
 
+def sweep_transitions(n: int, seed: int) -> int:
+    from html_parser_ray.htmlcore.api import parse, parse_fragment
+    rng = random.Random(f"trans-{seed}")
+    cases = [gen_case(rng, errorish=False) for _ in range(n)]
+    golden = _run_oracle("transition_oracle.mjs", cases)
+    bad = 0
+    for i, case in enumerate(cases):
+        if case["fragment"]:
+            tree = parse_fragment(case["html"], case["fragment"],
+                                  scripting_enabled=case["scripting"],
+                                  trace=True)
+        else:
+            tree = parse(case["html"], scripting_enabled=case["scripting"],
+                         trace=True)
+        ours = [[e["fromMode"], e["toMode"],
+                 e["tokenContext"]["type"],
+                 e["tokenContext"]["tagName"],
+                 e["tokenContext"]["startOffset"],
+                 e["tokenContext"]["endOffset"]]
+                for e in tree.trace
+                if e["kind"] == "insertionModeTransition"]
+        want = [list(x) for x in golden[i].get("transitions", [])]
+        if ours != want:
+            bad += 1
+            if bad <= 3:
+                print(f"TRANSITION DIVERGENCE case {i}: {json.dumps(case)}")
+                for g, w in zip(ours, want):
+                    if g != w:
+                        print(f"  first diff: ours {g} vs want {w}")
+                        break
+    tag = "ok  " if not bad else "FAIL"
+    print(f"{tag} transitions: {n - bad}/{n} identical (seed {seed})")
+    return bad
+
+
 def main() -> int:
     n_tree = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
     n_error = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20260819
     n_span = int(sys.argv[4]) if len(sys.argv) > 4 else max(n_error, 1)
+    n_trans = int(sys.argv[5]) if len(sys.argv) > 5 else n_span
     bad = (sweep_trees(n_tree, seed) + sweep_errors(n_error, seed)
-           + sweep_spans(n_span, seed))
+           + sweep_spans(n_span, seed) + sweep_transitions(n_trans, seed))
     return 1 if bad else 0
 
 
