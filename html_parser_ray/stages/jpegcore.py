@@ -148,6 +148,8 @@ def _build_decode_lut(bits: list[int], vals: list[int]):
     cached = _LUT_CACHE.get(key)
     if cached is not None:
         return cached
+    if sum(bits) != len(vals):
+        raise ValueError("JPEG: malformed Huffman table")
     lut = [0] * 65536
     code = 0
     k = 0
@@ -157,6 +159,8 @@ def _build_decode_lut(bits: list[int], vals: list[int]):
             k += 1
             lo = code << (16 - length)
             hi = lo + (1 << (16 - length))
+            if hi > 65536:
+                raise ValueError("JPEG: overfull Huffman table")
             entry = (length << 8) | val
             for i in range(lo, hi):
                 lut[i] = entry
@@ -303,12 +307,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         body = payload[pos + 2:pos + seglen]
         pos += seglen
         if marker in (0xC0, 0xC1):          # SOF0 / SOF1
+            if len(body) < 6:
+                raise ValueError("JPEG: truncated SOF")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG: truncated SOF")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if not (1 <= (hv >> 4) <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError("JPEG: invalid sampling factors")
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
         elif marker == 0xC2:
@@ -322,27 +332,39 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
                 i += 1
-                if pq:
-                    vals = np.frombuffer(body, ">u2", 64, i).astype(np.int64)
-                    i += 128
-                else:
-                    vals = np.frombuffer(body, np.uint8, 64,
-                                         i).astype(np.int64)
-                    i += 64
+                try:
+                    if pq:
+                        vals = np.frombuffer(body, ">u2", 64,
+                                             i).astype(np.int64)
+                        i += 128
+                    else:
+                        vals = np.frombuffer(body, np.uint8, 64,
+                                             i).astype(np.int64)
+                        i += 64
+                except ValueError:
+                    raise ValueError("JPEG: truncated DQT") from None
                 qt[tq] = vals               # zigzag order
         elif marker == 0xC4:                # DHT
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 15
                 bits = list(body[i + 1:i + 17])
+                if len(bits) != 16:
+                    raise ValueError("JPEG: truncated DHT")
                 nvals = sum(bits)
                 vals = list(body[i + 17:i + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("JPEG: truncated DHT")
                 i += 17 + nvals
                 lut = _build_decode_lut(bits, vals)
                 (dc_luts if tc == 0 else ac_luts)[th] = lut
         elif marker == 0xDD:                # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG: truncated DRI")
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:                # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("JPEG: truncated SOS")
             ns = body[0]
             sel = []
             for i in range(ns):
@@ -368,12 +390,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, comps = frame
     if w == 0 or h == 0:
         raise ValueError("JPEG: degenerate dimensions")
+    if w * h > 64_000_000:
+        # coefficient stores allocate ~8 B/pixel/component up front; a
+        # crafted SOF must not OOM the worker before the (post-alloc)
+        # truncated-scan check fires
+        raise ValueError("JPEG: dimensions exceed bridge-decoder cap")
     if len(comps) not in (1, 3):
         raise NotImplementedError("JPEG: only 1 or 3 components")
     sel, entropy = scan
     if len(sel) != len(comps):
         raise NotImplementedError("JPEG: multi-scan baseline not supported")
     table_for = {cs: (td, ta) for cs, td, ta in sel}
+    for cid, _ch, _cv, _tq in comps:
+        if cid not in table_for:
+            raise ValueError("JPEG: scan omits a frame component")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -216,3 +216,35 @@ def test_jpeg_luma_close_to_source_pixels():
         dw, dh, dc, got = _decode_image(make_image_payload(mid))
         assert (dw, dh) == (w, h)
         assert abs(float(got.mean()) - float(src.mean())) < 3.0
+
+
+def test_fuzz_malformed_streams_quarantine_cleanly():
+    # byte soup behind the JPEG magic and bit-flipped real streams must
+    # raise ValueError/NotImplementedError (the stage quarantine
+    # contract) — never IndexError/KeyError — and never hang
+    import random
+    rng = random.Random(99)
+    base = encode_jpeg_baseline(
+        (np.arange(48 * 48 * 3, dtype=np.int64) % 256)
+        .astype(np.uint8).reshape(48, 48, 3), 90)
+    for i in range(400):
+        if i % 2 == 0:
+            payload = b"\xff\xd8" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(4, 400)))
+        else:
+            b2 = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b2[rng.randrange(len(b2))] = rng.randrange(256)
+            payload = bytes(b2)
+        try:
+            decode_jpeg(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_huge_declared_dimensions_rejected_before_allocation():
+    payload = bytearray(encode_jpeg_baseline(np.zeros((8, 8, 3), np.uint8)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 5:idx + 9] = (65535).to_bytes(2, "big") * 2  # h, w
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
