@@ -193,8 +193,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         data = payload[pos + 8:pos + 8 + length]
         pos += 12 + length                       # 4 len + 4 type + 4 crc
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("PNG: truncated IHDR")
             width, height, depth, color, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
+                struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -207,10 +209,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             f"color={color} interlace={interlace}")
     if width == 0 or height == 0:
         raise ValueError("degenerate PNG dims")
+    if width * height > 64_000_000:     # match the JPEG bridge cap
+        raise ValueError("PNG: dimensions exceed bridge-decoder cap")
     channels = {0: 1, 2: 3, 6: 4}[color]
     stride = width * channels
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    try:
+        # bounded decompress: a crafted IDAT must not expand past the
+        # declared pixel volume (zip-bomb guard)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+    except zlib.error as exc:
+        raise ValueError(f"PNG: corrupt IDAT ({exc})") from None
+    if len(raw) != expected:
         raise ValueError("PNG: truncated pixel data")
     arr = _png_unfilter(raw, height, stride, channels) \
         .reshape(height, width, channels)

@@ -227,3 +227,46 @@ def test_image_feature_stage_decodes_real_png(ray_session):
     assert rows[0]["mean_luma_bp"] == int(round(
         float(arr.astype(np.float64).mean()) / 255.0 * 10_000))
     assert rows[1]["status"] == "codec_unavailable"   # GIF needs PIL
+
+
+def test_png_fuzz_malformed_streams_quarantine_cleanly():
+    # byte soup behind the PNG magic and bit-flipped real streams must
+    # raise ValueError/NotImplementedError — never zlib.error or
+    # struct.error — and the bounded decompress rejects zip bombs
+    import random
+    import numpy as np
+    from html_parser_ray.stages.multimodal import (
+        _PNG_MAGIC, decode_png, encode_png)
+    rng = random.Random(7)
+    base = encode_png((np.arange(32 * 32 * 3, dtype=np.int64) % 256)
+                      .astype(np.uint8).reshape(32, 32, 3))
+    for i in range(400):
+        if i % 2 == 0:
+            payload = _PNG_MAGIC + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(4, 300)))
+        else:
+            b2 = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b2[rng.randrange(len(b2))] = rng.randrange(256)
+            payload = bytes(b2)
+        try:
+            decode_png(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_png_huge_declared_dimensions_rejected():
+    import struct
+    import zlib
+    from html_parser_ray.stages.multimodal import _PNG_MAGIC, decode_png
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    big = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(big)
