@@ -664,9 +664,10 @@ class Tokenizer:
         self._text(s[pos:end], start, end + 3)
         self.pos = end + 3
         self.state = DATA
-        self._flush_text(self.pos)
-        if self._qidx >= len(self._queue):
-            self._step()
+        # no eager flush: parse5 keeps the character token open across the
+        # CDATA end, so its END location comes from the next real token's
+        # flush — which covers a dropped construct ("</>") in between
+        # (r5 span sweep); adjacent CHARS merge in the builder either way
 
     # ---- tag open dispatch -------------------------------------------------
 

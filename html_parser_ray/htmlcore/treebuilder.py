@@ -1510,7 +1510,17 @@ class TreeBuilder:
 
     def _ibs_image(self, token: tuple) -> None:
         self._err("unexpected-start-tag")
-        self._in_body_start((START, "img", token[2], token[3], token[4], token[5]))
+        # parse5 MUTATES the token's tagName to img (startTagImage), so
+        # spans' end-location stamping and the trace channel's
+        # currentToken observe the rewrite — mirror the foreign end-tag
+        # rename (r5 transition sweep)
+        renamed = (START, "img") + token[2:]
+        self._cur_token = renamed
+        if self.capture_spans:
+            self._cur_tag_token = renamed
+        if getattr(self, "_cur_tag_token_any", None) is not None:
+            self._cur_tag_token_any = renamed
+        self._in_body_start(renamed)
 
     def _ibs_textarea(self, token: tuple) -> None:
         self._insert_element(token)

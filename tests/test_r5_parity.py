@@ -112,3 +112,45 @@ def test_end_tag_br_synthesized_element_has_no_span():
     assert (br.start, br.end) == (-1, -1)
     # the surrounding text spans are unaffected
     assert _text_spans("x</br>y") == [("x", 0, 1), ("y", 6, 7)]
+
+
+# ---------------------------------------------------------------------------
+# CDATA token-end and image-rename classes (second r5 sweep batch)
+
+def test_cdata_text_end_covers_following_dropped_construct():
+    # parse5 keeps the character token open across the CDATA end marker;
+    # its end location comes from the NEXT real token's flush, which
+    # covers a dropped "</>" in between
+    from html_parser_ray.htmlcore.api import parse_fragment
+    t = parse_fragment("<font><![CDATA[hello]]></><header>", "math",
+                       scripting_enabled=True, capture_spans=True)
+    texts = [(n.value, n.start, n.end) for n, _ in walk(t)
+             if isinstance(n, Text)]
+    assert texts == [("hello", 6, 26)]
+    # without a drop, the end still lands at the next token's start
+    t = parse_fragment("<font><![CDATA[hello]]><header>", "math",
+                       scripting_enabled=True, capture_spans=True)
+    texts = [(n.value, n.start, n.end) for n, _ in walk(t)
+             if isinstance(n, Text)]
+    assert texts == [("hello", 6, 23)]
+    # EOF right after the dropped construct extends to input end
+    t = parse_fragment("<font><![CDATA[hello]]></>", "math",
+                       scripting_enabled=True, capture_spans=True)
+    texts = [(n.value, n.start, n.end) for n, _ in walk(t)
+             if isinstance(n, Text)]
+    assert texts == [("hello", 6, 26)]
+
+
+def test_image_start_tag_rename_updates_current_token():
+    # parse5 mutates the token's tagName image -> img; the trace
+    # channel's currentToken must observe the rewrite
+    tree = parse("<table><image>x", trace=True)
+    trans = [e for e in tree.trace
+             if e["kind"] == "insertionModeTransition"
+             and e["toMode"] == "IN_TABLE_TEXT"]
+    assert trans and trans[0]["tokenContext"]["tagName"] == "img"
+    # the img element itself keeps the original token's span
+    t = parse("<p><image>x", capture_spans=True)
+    img = next(n for n, _ in walk(t)
+               if isinstance(n, Element) and n.name == "img")
+    assert (img.start, img.end) == (3, 10)
